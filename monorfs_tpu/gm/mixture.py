@@ -1,0 +1,163 @@
+"""Masked fixed-capacity Gaussian-mixture maps.
+
+TPU-native replacement for the reference's KD-tree mixture container
+(reference: mono-rfs-lib/BaseStructures/Maps/Map.cs:41-327): components live
+in dense arrays with a fixed capacity K; dead slots carry log-weight DEAD.
+KD-tree radius queries become masked dense distance tests; prune/merge
+becomes top-k + a vectorized greedy clustering that reproduces the
+reference's weight-ordered merge (PHDNavigator.cs:913-948).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import gaussian
+
+# Finite stand-in for log(0): keeps arithmetic NaN-free.
+DEAD = -1.0e30
+ALIVE_THRESHOLD = -0.5e30
+
+
+class GM(NamedTuple):
+    """A batched Gaussian mixture. Leading dims broadcast; K is the component
+    axis; D the state dim (always 3 for maps, matching Map(3) usage)."""
+
+    mean: jax.Array  # [..., K, D]
+    cov: jax.Array  # [..., K, D, D]
+    logw: jax.Array  # [..., K]
+
+    @property
+    def capacity(self):
+        return self.logw.shape[-1]
+
+    @property
+    def dim(self):
+        return self.mean.shape[-1]
+
+
+def empty(k, dim=3, dtype=jnp.float32, batch=()):
+    return GM(
+        mean=jnp.zeros(batch + (k, dim), dtype),
+        cov=jnp.broadcast_to(jnp.eye(dim, dtype=dtype), batch + (k, dim, dim)),
+        logw=jnp.full(batch + (k,), DEAD, dtype),
+    )
+
+
+def alive(gm: GM):
+    return gm.logw > ALIVE_THRESHOLD
+
+
+def weights(gm: GM):
+    return jnp.where(alive(gm), jnp.exp(gm.logw), 0.0)
+
+
+def expected_size(gm: GM):
+    """Sum of weights (Map.cs:61-71)."""
+    return jnp.sum(weights(gm), axis=-1)
+
+
+def count(gm: GM):
+    return jnp.sum(alive(gm), axis=-1)
+
+
+def concat(a: GM, b: GM) -> GM:
+    return GM(
+        mean=jnp.concatenate([a.mean, b.mean], axis=-2),
+        cov=jnp.concatenate([a.cov, b.cov], axis=-3),
+        logw=jnp.concatenate([a.logw, b.logw], axis=-1),
+    )
+
+
+def evaluate(gm: GM, x, radius=None):
+    """Mixture density at point x [..., D] (Map.cs:192-220). With `radius`,
+    only components whose mean lies within the Euclidean ball contribute
+    (dense replacement for the KD-tree range query)."""
+    logp = gaussian.logpdf(x[..., None, :], gm.mean, gm.cov)
+    mask = alive(gm)
+    if radius is not None:
+        dist2 = jnp.sum((gm.mean - x[..., None, :]) ** 2, axis=-1)
+        mask = mask & (dist2 <= radius * radius)
+    vals = jnp.where(mask, jnp.exp(gm.logw + logp), 0.0)
+    return jnp.sum(vals, axis=-1)
+
+
+def best_map_indices(logw, cap=None):
+    """Marginal multi-object (MAP) estimate selection (Map.cs:119-142):
+    pick floor(sum w) components greedily by weight, decrementing the chosen
+    weight by 1 each round (so weight-2 components appear twice).
+
+    Returns (indices [cap], valid [cap])."""
+    k = logw.shape[-1]
+    cap = k if cap is None else cap
+    w0 = jnp.where(logw > ALIVE_THRESHOLD, jnp.exp(logw), 0.0)
+    n = jnp.floor(jnp.sum(w0, axis=-1)).astype(jnp.int32)
+
+    def body(i, carry):
+        w, idx = carry
+        j = jnp.argmax(w, axis=-1).astype(jnp.int32)
+        idx = idx.at[..., i].set(j)
+        w = w.at[..., j].add(-1.0)
+        return w, idx
+
+    idx0 = jnp.zeros(logw.shape[:-1] + (cap,), jnp.int32)
+    _, idx = jax.lax.fori_loop(0, cap, body, (w0, idx0))
+    valid = jnp.arange(cap) < jnp.minimum(n, cap)[..., None]
+    return idx, valid
+
+
+def prune_merge(gm: GM, max_quantity, min_weight, merge_threshold):
+    """Prune + merge (PHDNavigator.cs:913-948): sort by weight descending,
+    cut at `max_quantity` / first weight below `min_weight`, then greedily
+    merge later components into the heaviest earlier component within
+    `merge_threshold` Mahalanobis distance (measured in the leader's metric).
+
+    Unbatched over particles: vmap externally. Returns a GM with capacity
+    `max_quantity`.
+    """
+    k_out = max_quantity
+    logw, order = jax.lax.top_k(gm.logw, k_out)
+    mean = jnp.take_along_axis(gm.mean, order[..., None], axis=-2)
+    cov = jnp.take_along_axis(gm.cov, order[..., None, None], axis=-3)
+
+    live = (logw > ALIVE_THRESHOLD) & (logw >= jnp.log(min_weight))
+
+    cov_inv = gaussian.inv(cov)  # [K, D, D] in the *leader* metric
+    diff = mean[None, :, :] - mean[:, None, :]  # [i leader, k candidate, D]
+    m2 = jnp.einsum("ikd,ide,ike->ik", diff, cov_inv, diff)
+    close = m2 < merge_threshold * merge_threshold
+
+    idx = jnp.arange(k_out)
+
+    def body(kk, carry):
+        is_leader, leader = carry
+        eligible = is_leader & live & (idx < kk) & close[:, kk]
+        has = jnp.any(eligible)
+        first = jnp.argmax(eligible)
+        leader = leader.at[kk].set(jnp.where(has, first, kk))
+        is_leader = is_leader.at[kk].set(live[kk] & ~has)
+        return is_leader, leader
+
+    is_leader0 = jnp.concatenate([live[:1], jnp.zeros((k_out - 1,), bool)])
+    leader0 = jnp.arange(k_out)
+    is_leader, leader = jax.lax.fori_loop(1, k_out, body, (is_leader0, leader0))
+
+    # segment-merge by leader: assign[i, k] = 1 if component k belongs to i
+    assign = (leader[None, :] == idx[:, None]) & live[None, :]
+    w = jnp.where(live, jnp.exp(logw), 0.0)
+    cw = assign * w[None, :]
+    wsum = jnp.sum(cw, axis=1)
+    safe = jnp.maximum(wsum, 1e-30)
+    m = jnp.einsum("ik,kd->id", cw, mean) / safe[:, None]
+    second = cov + mean[:, :, None] * mean[:, None, :]
+    p = jnp.einsum("ik,kde->ide", cw, second) / safe[:, None, None]
+    p = p - m[:, :, None] * m[:, None, :]
+
+    out_alive = is_leader & (wsum > 0)
+    out_logw = jnp.where(out_alive, jnp.log(jnp.maximum(wsum, 1e-30)), DEAD)
+    out_mean = jnp.where(out_alive[:, None], m, 0.0)
+    out_cov = jnp.where(
+        out_alive[:, None, None], p, jnp.eye(gm.dim, dtype=p.dtype)
+    )
+    return GM(out_mean, out_cov, out_logw)

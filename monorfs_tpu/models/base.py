@@ -1,0 +1,67 @@
+"""Model registry: pure-function bundles replacing the reference's
+<MeasurerT, PoseT, MeasurementT> generics (reference: Navigator.cs:47-50,
+IMeasurer.cs:38-148, IPose.cs:36-179).
+
+A `Model` packages the pose-manifold operations and the measurement model as
+plain jax-traceable functions over arrays. Landmarks are always 3-vectors
+(the reference always builds `Map(3)`); measurement dim varies per model.
+Measurer parameters are static Python floats carried on the (hashable,
+frozen) dataclass so jit specializes on them.
+"""
+
+import dataclasses
+from typing import Any, Callable
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseOps:
+    state_dim: int
+    odo_dim: int
+    identity: Callable  # (dtype) -> [S]
+    add: Callable  # ([S], [T]) -> [S]
+    subtract: Callable  # ([S], [S]) -> [T]
+    add_global: Callable
+    subtract_global: Callable
+    add_odometry: Callable  # ([S], [T]) -> [S]
+    diff_odometry: Callable  # ([S], [S]) -> [T]
+    add_jacobian: Callable
+    subtract_jacobian: Callable
+    add_odometry_jacobian: Callable
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    name: str
+    pose: PoseOps
+    meas_dim: int
+    params: Any  # frozen dataclass of floats (static under jit)
+
+    # measurement model: all functions take (params, ...) and broadcast
+    measure: Callable  # (params, pose [S], lm [3]) -> z [D]
+    jac_landmark: Callable  # -> [D, 3]
+    jac_pose: Callable  # -> [D, T]
+    to_map: Callable  # (params, pose, z) -> lm [3]
+    fit_to_measurement: Callable  # (params, pose0, z, lm) -> pose [S]
+    visible: Callable  # (params, z) -> bool
+    fuzzy_visible: Callable  # (params, z, ramp [D]) -> [0, 1]
+    random_measure: Callable  # (params, key, shape) -> z [*shape, D]
+    volume: Callable  # (params) -> float
+
+    def with_params(self, params):
+        return dataclasses.replace(self, params=params)
+
+
+_REGISTRY = {}
+
+
+def register(model: Model):
+    _REGISTRY[model.name] = model
+    return model
+
+
+def get(name: str) -> Model:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown model '{name}'; available: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
