@@ -1,0 +1,124 @@
+"""Set log-likelihood P(Z | X, M) via vmappable beam enumeration.
+
+TPU-native replacement for the reference's data-association machinery
+(reference: PHDNavigator.cs:415-713 + Maths/GraphCombinatorics.cs:42-792).
+The reference builds a sparse gated log-likelihood matrix, partitions it into
+connected components, and enumerates assignments per component
+(lexicographically for <=5 rows, Murty's k-best otherwise, capped at 200
+hypotheses), LogSumExp-ing the terms.
+
+Here the same truncated sum is computed by a fixed-shape beam search over
+measurements: each beam element is a distinct partial association (landmark
+choices are injective via a used-mask), so summing beam scores sums distinct
+assignment likelihoods. With beam width B >= the number of reachable partial
+assignments the result is exact -- which covers the reference's exhaustive
+regime -- and otherwise keeps the top-B scoring assignments like Murty's
+truncation. The whole computation is differentiable, so jax.grad reproduces
+the reference's analytic TemperedAverage pose gradient
+(PHDNavigator.cs:677-708) for free.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..gm import gaussian
+
+NEG = -1.0e30
+
+
+def association_matrices(model, pose, map_means, map_mask, meas_cov, pd, ramp,
+                         gate, fuzzy_pd):
+    """Build the gated association log-likelihood pieces
+    (SetLogLikeMatrix, PHDNavigator.cs:415-453 / quasi variant :567-635).
+
+    map_means: [N, 3] (+ mask), measurements compared against
+    N(h(pose, m_i), R) with detection probability PD_i.
+
+    fuzzy_pd=True uses the fuzzy-visibility-scaled PD (real variant);
+    False uses the constant PD (quasi variant, gate 12 instead of 5).
+
+    Returns (mu [N, D], log_pd [N], log_miss [N], r_inv [D, D], logmult).
+    """
+    mu = model.measure(model.params, pose, map_means)  # [N, D]
+    if fuzzy_pd:
+        pdv = model.fuzzy_visible(model.params, mu, ramp) * pd
+    else:
+        pdv = jnp.full(mu.shape[:-1], pd, mu.dtype)
+    pdv = jnp.clip(pdv, 1e-30, 1.0 - 1e-7)
+    log_pd = jnp.log(pdv)
+    log_miss = jnp.log1p(-pdv)
+    r_inv = gaussian.inv(meas_cov)
+    logmult = gaussian.log_multiplier(meas_cov)
+    return mu, log_pd, log_miss, r_inv, logmult
+
+
+def likelihood_matrix(mu, log_pd, logmult, r_inv, z, gate):
+    """ll[i, k] = log PD_i + log mult - 0.5 d^2 where Mahalanobis d < gate,
+    else NEG (PHDNavigator.cs:433-442)."""
+    diff = z[None, :, :] - mu[:, None, :]  # [N, M, D]
+    d2 = jnp.einsum("nmd,de,nme->nm", diff, r_inv, diff)
+    ll = log_pd[:, None] + logmult - 0.5 * d2
+    return jnp.where(d2 < gate * gate, ll, NEG)
+
+
+def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width):
+    """Truncated sum over data associations.
+
+    ll: [N, M] gated landmark-measurement log-likelihoods (NEG when gated
+        out), log_miss: [N] misdetection terms, log_clutter: scalar clutter
+        term per measurement. Masked-out rows/columns are ignored.
+
+    Every assignment maps each measurement to either clutter or a distinct
+    landmark; unassigned landmarks contribute log_miss. Assignment score =
+    sum(log_miss) + sum_k [choice_k], with choice_k in
+    {log_clutter} u {ll[i,k] - log_miss[i]}.
+
+    Returns logsumexp over the top-`beam_width` assignments.
+    """
+    n, m = ll.shape
+    dtype = ll.dtype
+    base = jnp.sum(jnp.where(n_mask, log_miss, 0.0))
+    delta = jnp.where(
+        (ll > NEG / 2) & n_mask[:, None], ll - log_miss[:, None], NEG
+    )  # [N, M]
+
+    scores0 = jnp.full((beam_width,), NEG, dtype).at[0].set(base)
+    used0 = jnp.zeros((beam_width, n), bool)
+
+    def step(carry, inputs):
+        scores, used = carry
+        delta_k, active = inputs
+        # candidate scores: [B, 1 + N] (clutter first)
+        land = scores[:, None] + jnp.where(used, NEG, delta_k[None, :])
+        cand = jnp.concatenate([scores[:, None] + log_clutter, land], axis=1)
+        flat = cand.reshape(-1)
+        top, idx = jax.lax.top_k(flat, beam_width)
+        src = idx // (n + 1)
+        choice = idx % (n + 1)  # 0 = clutter, 1 + i = landmark i
+        new_used = used[src]
+        pick = choice - 1  # -1 for clutter
+        new_used = jnp.where(
+            (pick[:, None] >= 0) & (jnp.arange(n)[None, :] == pick[:, None]),
+            True,
+            new_used,
+        )
+        scores = jnp.where(active, top, scores)
+        used = jnp.where(active, new_used, used)
+        return (scores, used), None
+
+    (scores, _), _ = jax.lax.scan(step, (scores0, used0), (delta.T, m_mask))
+    return jax.scipy.special.logsumexp(jnp.where(scores > NEG / 2, scores, -jnp.inf))
+
+
+def quasi_set_log_likelihood(model, meas_cov, pd, log_clutter, pose,
+                             map_means, map_mask, z, z_mask, beam_width=200):
+    """QuasiSetLogLikelihood (PHDNavigator.cs:526-713): constant PD, gate 12,
+    visibility ignored. Differentiable in `pose` -- jax.grad reproduces the
+    reference's analytic gradient path."""
+    mu, log_pd, log_miss, r_inv, logmult = association_matrices(
+        model, pose, map_means, map_mask, meas_cov, pd, None, 12.0, False
+    )
+    ll = likelihood_matrix(mu, log_pd, logmult, r_inv, z, 12.0)
+    ll = jnp.where(z_mask[None, :], ll, NEG)
+    return set_log_likelihood(ll, log_miss, log_clutter, map_mask, z_mask,
+                              beam_width)
