@@ -30,7 +30,7 @@ def _parse_matrix(text):
 
 def _format_matrix(mat):
     mat = np.atleast_2d(np.asarray(mat, dtype=float))
-    return "[" + "; ".join(" ".join(repr(v) for v in row) for row in mat) + "]"
+    return "[" + "; ".join(" ".join(repr(float(v)) for v in row) for row in mat) + "]"
 
 
 @dataclasses.dataclass

