@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: frames/s/chip, full RB-PHD SLAM, 3D pixel-range sim,
+200 particles (the BASELINE.json headline config).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the 30 frames/s real-time simulation rate
+(Config.MeasureElapsed = 1/30 s, reference Config.cs:53): the reference
+publishes no absolute numbers (BASELINE.md), so real-time-rate multiples are
+the reproducible yardstick; the >=100x-vs-Mono target corresponds to tens of
+real-time multiples since the Mono reference runs near or below real time at
+these particle counts.
+"""
+
+import json
+import pathlib
+import sys
+
+HERE = pathlib.Path(__file__).parent
+sys.path.insert(0, str(HERE))
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", str(HERE / ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from monorfs_tpu.bench_core import run_benchmark
+    from monorfs_tpu.slam.phd import PHDConfig
+
+    # static capacities sized to the benchmark world (40 landmarks):
+    # MaxQuantity-style component cap 128 never binds, so semantics match
+    # the reference defaults while avoiding dead-slot compute
+    pcfg = PHDConfig(
+        num_particles=200,
+        max_components=128,
+        max_measurements=48,
+        gate_top=8,
+        estimate_cap=64,
+        beam_width=64,
+    )
+    result = run_benchmark(
+        HERE / "assets" / "sim3d.world",
+        HERE / "assets" / "mov3d.in",
+        particles=200,
+        frames=300,
+        dtype=jnp.float32,
+        phd_cfg=pcfg,
+    )
+    realtime_fps = 30.0
+    out = {
+        "metric": "frames/sec/chip PHD-SLAM 3D sim 200 particles",
+        "value": round(result["fps"], 3),
+        "unit": "frames/s",
+        "vs_baseline": round(result["fps"] / realtime_fps, 3),
+    }
+    print(json.dumps(out))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in result.items()
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

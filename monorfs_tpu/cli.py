@@ -1,0 +1,95 @@
+"""monorfs-tpu command-line interface.
+
+Mirrors the reference CLI flags (reference: mono-rfs/Program.cs:114-131):
+  -f/--file scene or recording input, -c/--command command file,
+  -r/--record output recording, -a/--algorithm phd|odometry|isam2|loopy,
+  -p/--particles N, -y/--onlymapping, -g/--config cfg file,
+  -i/--input simulation|record, -x/--headless (always true here),
+  plus --seed and --dtype extensions.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="monorfs-tpu", description="TPU-native RFS-SLAM runner"
+    )
+    ap.add_argument("-f", "--file", required=True, help="scene world file or recording zip")
+    ap.add_argument("-c", "--command", default=None, help="command (.in) file")
+    ap.add_argument("-r", "--record", default=None, help="output recording zip")
+    ap.add_argument("-a", "--algorithm", default="phd",
+                    choices=["phd", "odometry", "isam2", "loopy"])
+    ap.add_argument("-p", "--particles", type=int, default=1)
+    ap.add_argument("-y", "--onlymapping", action="store_true")
+    ap.add_argument("-g", "--config", default=None, help="cfg file")
+    ap.add_argument("-i", "--input", default="simulation",
+                    choices=["simulation", "record"])
+    ap.add_argument("-x", "--headless", action="store_true", default=True)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    ap.add_argument("--progress", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from .config import Config
+    from .io import Recording, World, parse_commands
+    from .sim import Simulation
+
+    cfg = Config()
+    rec = None
+    if args.input == "record":
+        rec = Recording.load(args.file)
+        cfg.apply_descriptor(rec.config_text.splitlines())
+        world = rec.world
+        commands = []
+    else:
+        world = World.from_file(args.file)
+        commands = (
+            parse_commands(open(args.command).read()) if args.command else []
+        )
+
+    if args.config:
+        cfg = Config.from_file(args.config)
+    elif args.input != "record":
+        # no explicit config: infer the model family from the world's pose
+        # dimension (the reference requires `Model:` in the cfg; inferring
+        # keeps bare runs working for every family)
+        dim_model = {1: "Linear1D", 2: "Linear2D", 7: "PRM3D"}
+        inferred = dim_model.get(len(world.pose))
+        if inferred and inferred != cfg.model:
+            cfg.set_model_defaults(inferred)
+
+    dtype = np.float64 if args.dtype == "float64" else np.float32
+
+    t0 = time.time()
+    sim = Simulation(
+        cfg,
+        world,
+        commands,
+        algorithm=args.algorithm,
+        particles=args.particles,
+        onlymapping=args.onlymapping,
+        seed=args.seed,
+        dtype=dtype,
+        replay=rec,
+    )
+    sim.run(progress=args.progress)
+    elapsed = time.time() - t0
+    print(f"finished running ({elapsed:.4f} s)")
+
+    if args.record:
+        sim.save(args.record)
+        print(f"recording written to {args.record}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,10 +83,14 @@ def evaluate(gm: GM, x, radius=None):
     return jnp.sum(vals, axis=-1)
 
 
-def best_map_indices(logw, cap=None):
+def best_map_indices(logw, cap=None, max_multiplicity=4):
     """Marginal multi-object (MAP) estimate selection (Map.cs:119-142):
     pick floor(sum w) components greedily by weight, decrementing the chosen
     weight by 1 each round (so weight-2 components appear twice).
+
+    Vectorized closed form: the c-th pick of component i carries value
+    w_i - c, so the greedy multiset equals the top-n of the flattened value
+    matrix {w_i - c : c < max_multiplicity} -- one top_k, no sequential loop.
 
     Returns (indices [cap], valid [cap])."""
     k = logw.shape[-1]
@@ -94,15 +98,11 @@ def best_map_indices(logw, cap=None):
     w0 = jnp.where(logw > ALIVE_THRESHOLD, jnp.exp(logw), 0.0)
     n = jnp.floor(jnp.sum(w0, axis=-1)).astype(jnp.int32)
 
-    def body(i, carry):
-        w, idx = carry
-        j = jnp.argmax(w, axis=-1).astype(jnp.int32)
-        idx = idx.at[..., i].set(j)
-        w = w.at[..., j].add(-1.0)
-        return w, idx
-
-    idx0 = jnp.zeros(logw.shape[:-1] + (cap,), jnp.int32)
-    _, idx = jax.lax.fori_loop(0, cap, body, (w0, idx0))
+    copies = jnp.arange(max_multiplicity, dtype=w0.dtype)
+    vals = w0[..., :, None] - copies  # [..., K, C]
+    flat = vals.reshape(vals.shape[:-2] + (k * max_multiplicity,))
+    _, fidx = jax.lax.top_k(flat, cap)
+    idx = (fidx // max_multiplicity).astype(jnp.int32)
     valid = jnp.arange(cap) < jnp.minimum(n, cap)[..., None]
     return idx, valid
 
@@ -130,18 +130,20 @@ def prune_merge(gm: GM, max_quantity, min_weight, merge_threshold):
 
     idx = jnp.arange(k_out)
 
-    def body(kk, carry):
-        is_leader, leader = carry
-        eligible = is_leader & live & (idx < kk) & close[:, kk]
-        has = jnp.any(eligible)
-        first = jnp.argmax(eligible)
-        leader = leader.at[kk].set(jnp.where(has, first, kk))
-        is_leader = is_leader.at[kk].set(live[kk] & ~has)
-        return is_leader, leader
+    # Greedy weight-ordered leader selection as a fixed-round synchronous
+    # fixed-point iteration (converges within the longest close-chain depth;
+    # the sequential reference greedy is the unique fixed point):
+    #   is_leader[k] = live[k] and no earlier leader i<k with close(i, k)
+    lower = (idx[:, None] < idx[None, :]) & close & live[None, :] & live[:, None]
 
-    is_leader0 = jnp.concatenate([live[:1], jnp.zeros((k_out - 1,), bool)])
-    leader0 = jnp.arange(k_out)
-    is_leader, leader = jax.lax.fori_loop(1, k_out, body, (is_leader0, leader0))
+    def round_(t, is_leader):
+        conflict = jnp.any(lower & is_leader[:, None], axis=0)
+        return live & ~conflict
+
+    is_leader = jax.lax.fori_loop(0, 16, round_, live)
+    eligible = lower & is_leader[:, None]  # [i leader, k candidate]
+    has = jnp.any(eligible, axis=0)
+    leader = jnp.where(has, jnp.argmax(eligible, axis=0), idx)
 
     # segment-merge by leader: assign[i, k] = 1 if component k belongs to i
     assign = (leader[None, :] == idx[:, None]) & live[None, :]

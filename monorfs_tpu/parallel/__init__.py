@@ -1,0 +1,2 @@
+from . import mesh  # noqa: F401
+from .mesh import make_mesh, make_sharded_step, shard_state  # noqa: F401

@@ -1,0 +1,140 @@
+"""Post-analysis: compute error metrics from a recording zip.
+
+Mirrors the reference postanalysis executable
+(reference: postanalysis/Program.cs:42-145 + Plot.cs:56-670): reads a
+recording, computes ATE location/rotation, odometry drift, OSPA map error
+(with spatial/cardinality split), map sizes, and path length, writing
+reference-style `<rec>.<metric>.data` files (time value per line).
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+from .io.recording import Recording
+from .metrics.errors import (
+    _interp_state,
+    ate_location,
+    ate_rotation,
+    ospa,
+    path_length,
+    rmse,
+)
+
+
+def visited_landmarks(rec):
+    """Groundtruth landmarks seen (detected at least once) up to each time
+    (Plot.cs:216-271 'correct count' semantics)."""
+    seen = []
+    out = []
+    for t, comps in rec.vismaps:
+        for w, mean, _ in comps:
+            if w > 0 and not any(np.allclose(mean, s) for s in seen):
+                seen.append(np.asarray(mean))
+        out.append((t, np.array(seen).reshape(-1, len(comps[0][1]) if comps else 3)))
+    return out
+
+
+def map_estimates(rec):
+    """MAP (best) map estimate per frame: top floor(sum w) components."""
+    out = []
+    for t, comps in rec.maps:
+        if not comps:
+            out.append((t, np.zeros((0, 3))))
+            continue
+        ws = np.array([w for w, _, _ in comps])
+        n = int(np.floor(ws.sum()))
+        order = np.argsort(-ws)[:n]
+        out.append((t, np.array([comps[i][1] for i in order]).reshape(-1, 3)))
+    return out
+
+
+def best_trajectory(rec):
+    """Final pose estimate per frame (last waypoint of each estimate
+    snapshot)."""
+    out = []
+    for t, traj in rec.estimate:
+        if traj:
+            out.append((t, traj[-1][1]))
+    return out
+
+
+def odometry_drift(rec, window=10):
+    """Pose-delta error over `window`-frame windows (Plot.cs:407-442):
+    dead-reckoned displacement vs groundtruth displacement."""
+    est = best_trajectory(rec)
+    out = []
+    for i in range(window, len(est)):
+        t0, s0 = est[i - window]
+        t1, s1 = est[i]
+        g0 = _interp_state(rec.trajectory, t0)
+        g1 = _interp_state(rec.trajectory, t1)
+        d = min(len(s0), len(g0), 3)
+        drift = np.linalg.norm((s1[:d] - s0[:d]) - (g1[:d] - g0[:d]))
+        out.append((t1, float(drift)))
+    return out
+
+
+def analyze(rec: Recording, c: float = 1.0, p: float = 1.0):
+    est_traj = best_trajectory(rec)
+    visited = visited_landmarks(rec)
+    estimates = map_estimates(rec)
+
+    loc = ate_location(est_traj, rec.trajectory)
+    rot = ate_rotation(est_traj, rec.trajectory)
+    drift = odometry_drift(rec)
+
+    map_err, map_spatial, map_card, sizes, realsizes = [], [], [], [], []
+    for (t, est), (_, truth) in zip(estimates, visited):
+        total, spatial, card = ospa(est, truth, c=c, p=p)
+        map_err.append((t, total))
+        map_spatial.append((t, spatial))
+        map_card.append((t, card))
+        sizes.append((t, float(len(est))))
+        realsizes.append((t, float(len(truth))))
+
+    return {
+        "loc": loc,
+        "rot": rot,
+        "odoloc": drift,
+        "map": map_err,
+        "mapspatial": map_spatial,
+        "mapcard": map_card,
+        "size": sizes,
+        "realsize": realsizes,
+        "pathlen": [(rec.trajectory[-1][0], path_length(rec.trajectory))]
+        if rec.trajectory
+        else [],
+    }
+
+
+def write_data_files(results, prefix):
+    for name, series in results.items():
+        with open(f"{prefix}.{name}.data", "w") as f:
+            for t, v in series:
+                f.write(f"{t:.6g} {v:.6g}\n")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="monorfs-tpu-postanalysis")
+    ap.add_argument("-f", "--file", required=True, help="recording zip")
+    ap.add_argument("-c", "--ospa-c", type=float, default=1.0)
+    ap.add_argument("-p", "--ospa-p", type=float, default=1.0)
+    ap.add_argument(
+        "-H", "--history", default="timed", choices=["timed", "filter", "smooth"]
+    )
+    args = ap.parse_args(argv)
+
+    rec = Recording.load(args.file)
+    results = analyze(rec, c=args.ospa_c, p=args.ospa_p)
+    write_data_files(results, args.file)
+    print(f"ATE loc RMSE: {rmse(results['loc']):.6g}")
+    print(f"ATE rot RMSE: {rmse(results['rot']):.6g}")
+    if results["map"]:
+        print(f"final OSPA({args.ospa_c},{args.ospa_p}): {results['map'][-1][1]:.6g}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,9 +53,18 @@ class Simulation:
         phd_config: Optional[phd.PHDConfig] = None,
         seed: int = 0,
         collect_history: bool = True,
+        replay=None,
     ):
+        """With `replay` (a Recording), the vehicle becomes a RecordVehicle
+        (reference: SLAM/Vehicles/RecordVehicle.cs:64-349): the true
+        trajectory, noisy odometry, and measurement sets come from the
+        recording instead of being re-simulated, so different algorithms can
+        be solved against identical data (chap4 S8 'sandwich' style)."""
         self.cfg = cfg
         self.world = world
+        self.replay = replay
+        if replay is not None and not commands:
+            commands = [r for _, r in replay.odometry]
         self.commands = commands
         self.algorithm = algorithm
         self.dtype = dtype
@@ -111,6 +120,7 @@ class Simulation:
         self.frames = []  # per-frame dict: poses [P,S], parents [P], best
         self.tags = []
         self.time = 0.0
+        self.frame_index = 0
 
     # ------------------------------------------------------------------
 
@@ -137,7 +147,9 @@ class Simulation:
             raise ValueError(f"unknown algorithm {self.algorithm}")
 
     def _vehicle_frame(self):
-        """Advance the vehicle and sample a measurement set."""
+        """Advance the vehicle and sample (or replay) a measurement set."""
+        if self.replay is not None:
+            return self._replay_frame()
         self.key, kupd, kmeas = jax.random.split(self.key, 3)
         reading = jnp.asarray(
             self.current_command[: self.model.pose.odo_dim], self.dtype
@@ -151,6 +163,35 @@ class Simulation:
         if not self.cfg.use_odometry:
             noisy = jnp.zeros_like(noisy)
         return noisy, z, mask, labels, visible, detected
+
+    def _replay_frame(self):
+        """RecordVehicle playback (RecordVehicle.cs:150-240): pose from the
+        recorded groundtruth, odometry and measurements as recorded."""
+        i = self.frame_index
+        rec = self.replay
+        noisy = jnp.asarray(rec.odometry[i][1], self.dtype)
+        self.vstate = self.vstate._replace(
+            pose=jnp.asarray(rec.trajectory[i][1], self.dtype)
+        )
+        zs = rec.measurements[i][1] if i < len(rec.measurements) else []
+        d = self.model.meas_dim
+        z = np.zeros((self.max_meas, d), self.dtype)
+        for k, zi in enumerate(zs[: self.max_meas]):
+            z[k] = zi[:d]
+        mask = np.arange(self.max_meas) < len(zs)
+        lmax = self.vstate.landmarks.shape[0]
+        visible = np.zeros(lmax, bool)
+        detected = np.zeros(lmax, bool)
+        if not self.cfg.use_odometry:
+            noisy = jnp.zeros_like(noisy)
+        return (
+            noisy,
+            jnp.asarray(z),
+            jnp.asarray(mask),
+            None,
+            jnp.asarray(visible),
+            jnp.asarray(detected),
+        )
 
     def _collapse(self, n):
         """StartSlam/StartMapping particle collapse
@@ -212,6 +253,7 @@ class Simulation:
 
         if self.collect_history:
             self._record(t, noisy, z, mask, visible, detected)
+        self.frame_index += 1
 
     def _record(self, t, noisy, z, mask, visible, detected):
         vpose = np.asarray(self.vstate.pose)
@@ -222,19 +264,28 @@ class Simulation:
             (t, [zi[: self.model.meas_dim] for zi in zs])
         )
 
-        lms = np.asarray(self.vstate.landmarks)
-        vis = np.asarray(visible)
-        det = np.asarray(detected)
-        self.way_vismaps.append(
-            (
-                t,
-                [
-                    (1.0 if det[i] else 0.0, lms[i], DIRAC_COV)
-                    for i in range(len(lms))
-                    if vis[i]
-                ],
+        if self.replay is not None:
+            # carry the recorded groundtruth visibility through
+            i = self.frame_index
+            self.way_vismaps.append(
+                self.replay.vismaps[i]
+                if i < len(self.replay.vismaps)
+                else (t, [])
             )
-        )
+        else:
+            lms = np.asarray(self.vstate.landmarks)
+            vis = np.asarray(visible)
+            det = np.asarray(detected)
+            self.way_vismaps.append(
+                (
+                    t,
+                    [
+                        (1.0 if det[i] else 0.0, lms[i], DIRAC_COV)
+                        for i in range(len(lms))
+                        if vis[i]
+                    ],
+                )
+            )
 
         if self.algorithm == "phd":
             best = int(self.nstate.best)
