@@ -143,6 +143,20 @@ class Simulation:
         elif self.algorithm == "odometry":
             self.nav_pose = jnp.asarray(self.world.pose, self.dtype)
             self.mode_mapping = self.onlymapping
+        elif self.algorithm == "isam2":
+            from ..slam.isam2nav import ISAM2Navigator
+
+            self.isam2 = ISAM2Navigator(
+                model,
+                cfg,
+                np.asarray(self.world.pose, self.dtype),
+                max_poses=len(self.commands) + 2,
+                max_landmarks=max(4 * len(self.world.landmarks), 64),
+                meas_per_frame=self.max_meas,
+                onlymapping=self.onlymapping,
+                dtype=self.dtype,
+            )
+            self.mode_mapping = self.onlymapping
         else:
             raise ValueError(f"unknown algorithm {self.algorithm}")
 
@@ -250,6 +264,15 @@ class Simulation:
                 self.nav_pose = self.vstate.pose
             else:
                 self.nav_pose = self.model.pose.add_odometry(self.nav_pose, noisy)
+        elif self.algorithm == "isam2":
+            self.isam2.predict(np.asarray(noisy), np.asarray(self.vstate.pose))
+            zs = np.asarray(z)[np.asarray(mask)][:, : self.model.meas_dim]
+            true_labels = (
+                np.asarray(labels)[np.asarray(mask)]
+                if labels is not None
+                else None
+            )
+            self.isam2.slam_update(list(zs), true_labels)
 
         if self.collect_history:
             self._record(t, noisy, z, mask, visible, detected)
@@ -303,6 +326,14 @@ class Simulation:
                     "poses": np.asarray(self.nstate.pose).copy(),
                     "best": best,
                 }
+            )
+        elif self.algorithm == "isam2":
+            means, covs = self.isam2.map_estimate
+            self.way_maps.append(
+                (t, [(1.0, means[i], covs[i]) for i in range(len(means))])
+            )
+            self.frames.append(
+                {"poses": self.isam2.pose[None, :].copy(), "best": 0}
             )
         else:
             self.way_maps.append((t, []))
