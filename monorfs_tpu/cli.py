@@ -28,7 +28,7 @@ def build_parser():
     ap.add_argument("-y", "--onlymapping", action="store_true")
     ap.add_argument("-g", "--config", default=None, help="cfg file")
     ap.add_argument("-i", "--input", default="simulation",
-                    choices=["simulation", "record"])
+                    choices=["simulation", "record", "kinect"])
     ap.add_argument("-x", "--headless", action="store_true", default=True)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
@@ -39,13 +39,47 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     from .config import Config
     from .io import Recording, World, parse_commands
     from .sim import Simulation
 
     cfg = Config()
     rec = None
-    if args.input == "record":
+    kinect_source = None
+    if args.input == "kinect":
+        from .frontend.dataset import RGBDDataset
+        from .frontend.kinect import KinectSource
+        from .models.prm3d import Params
+
+        world = World(
+            pose=np.array([0, 0, 0, 1, 0, 0, 0.0]),
+            landmarks=np.zeros((0, 3)),
+            measurer_params=np.array(Params().to_linear()),
+        )
+        kinect_source = KinectSource(
+            RGBDDataset(args.file), delta=cfg.kinect_delta
+        )
+        # camera intrinsics in the subsampled image frame
+        cam = Params()
+        sub = Params(
+            focal=cam.focal / cfg.kinect_delta,
+            film_left=cam.film_left / cfg.kinect_delta,
+            film_top=cam.film_top / cfg.kinect_delta,
+            film_width=cam.film_width / cfg.kinect_delta,
+            film_height=cam.film_height / cfg.kinect_delta,
+            range_min=cam.range_min,
+            range_max=cam.range_max,
+        )
+        world.measurer_params = np.array(sub.to_linear())
+        commands = (
+            parse_commands(open(args.command).read()) if args.command else []
+        )
+    elif args.input == "record":
         rec = Recording.load(args.file)
         cfg.apply_descriptor(rec.config_text.splitlines())
         world = rec.world
@@ -80,6 +114,7 @@ def main(argv=None):
         seed=args.seed,
         dtype=dtype,
         replay=rec,
+        kinect_source=kinect_source,
     )
     sim.run(progress=args.progress)
     elapsed = time.time() - t0

@@ -1,0 +1,143 @@
+"""RGB-D dataset conversion and loading.
+
+Replaces the reference's .oni pipeline at the data level: video2oni
+(reference: video2oni/video2oni.cpp:335-480) converted TUM-style PNG streams
+(depth.txt / rgb.txt timestamp-path indexes) into OpenNI .oni recordings;
+here the same TUM input converts into a single .npz with dense arrays, which
+is what a TPU data pipeline wants (sequential large reads, no codec)."""
+
+import os
+import zipfile
+
+import numpy as np
+
+
+def _read_index(path):
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            out.append((float(parts[0]), parts[1]))
+    return out
+
+
+def _load_png(path):
+    """Minimal PNG loader (grayscale/RGB/16-bit) without external deps."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a png"
+    pos = 8
+    idat = b""
+    meta = {}
+    while pos < len(data):
+        length = struct.unpack(">I", data[pos : pos + 4])[0]
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            (meta["w"], meta["h"], meta["depth"], meta["color"], _, _,
+             meta["interlace"]) = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[meta["color"]]
+    bpp = meta["depth"] // 8 * channels
+    w, h = meta["w"], meta["h"]
+    stride = w * bpp
+    img = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for row in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], np.uint8).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif ft == 3:  # average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ft}")
+        img[row] = cur.astype(np.uint8)
+        prev = cur
+    if meta["depth"] == 16:
+        arr = img.reshape(h, w, channels, 2)
+        out = (arr[..., 0].astype(np.uint16) << 8) | arr[..., 1]
+        return out.squeeze()
+    return img.reshape(h, w, channels).squeeze()
+
+
+def convert_tum(directory, output, depth_scale=5000.0, max_frames=None):
+    """Convert a TUM RGB-D directory (depth.txt + rgb.txt) into an npz with
+    time [T], depth [T, H, W] float32 meters, gray [T, H, W] uint8."""
+    depth_index = _read_index(os.path.join(directory, "depth.txt"))
+    rgb_index = _read_index(os.path.join(directory, "rgb.txt"))
+    if max_frames:
+        depth_index = depth_index[:max_frames]
+
+    times, depths, grays = [], [], []
+    for t, dpath in depth_index:
+        # associate nearest rgb frame
+        rt, rpath = min(rgb_index, key=lambda x: abs(x[0] - t))
+        d = _load_png(os.path.join(directory, dpath)).astype(np.float32)
+        d /= depth_scale
+        rgb = _load_png(os.path.join(directory, rpath))
+        gray = (
+            rgb.mean(axis=-1).astype(np.uint8)
+            if rgb.ndim == 3
+            else rgb.astype(np.uint8)
+        )
+        times.append(t)
+        depths.append(d)
+        grays.append(gray)
+    np.savez_compressed(
+        output,
+        time=np.asarray(times),
+        depth=np.stack(depths),
+        gray=np.stack(grays),
+    )
+    return output
+
+
+class RGBDDataset:
+    """Loader for converted npz RGB-D streams."""
+
+    def __init__(self, path):
+        data = np.load(path)
+        self.time = data["time"]
+        self.depth = data["depth"]
+        self.gray = data["gray"]
+
+    def __len__(self):
+        return len(self.time)
+
+    def frame(self, i):
+        return self.time[i], self.depth[i], self.gray[i]

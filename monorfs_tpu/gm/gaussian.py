@@ -93,6 +93,7 @@ def merge_moments(logw, mean, cov, mask, axis=-1):
     Returns (w, mean, cov) with the component axis reduced. Weights are
     linear-domain outputs (callers re-log as needed).
     """
+    axis = axis % logw.ndim  # positive index of the component axis
     w = jnp.where(mask, jnp.exp(logw), 0.0)
     wsum = jnp.sum(w, axis=axis)
     safe = jnp.maximum(wsum, 1e-300 if w.dtype == jnp.float64 else 1e-30)

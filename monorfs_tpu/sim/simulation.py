@@ -54,6 +54,7 @@ class Simulation:
         seed: int = 0,
         collect_history: bool = True,
         replay=None,
+        kinect_source=None,
     ):
         """With `replay` (a Recording), the vehicle becomes a RecordVehicle
         (reference: SLAM/Vehicles/RecordVehicle.cs:64-349): the true
@@ -63,8 +64,12 @@ class Simulation:
         self.cfg = cfg
         self.world = world
         self.replay = replay
+        self.kinect = kinect_source
         if replay is not None and not commands:
             commands = [r for _, r in replay.odometry]
+        if kinect_source is not None and not commands:
+            odo = {"PRM3D": 6, "Linear2D": 2, "Linear1D": 1}[cfg.model]
+            commands = [np.zeros(odo)] * len(kinect_source.dataset)
         self.commands = commands
         self.algorithm = algorithm
         self.dtype = dtype
@@ -76,6 +81,8 @@ class Simulation:
         lmax = max(len(world.landmarks), 1)
         max_clutter = 8
         self.max_meas = lmax + max_clutter
+        if kinect_source is not None:
+            self.max_meas = 64  # vision keypoint budget per frame
         self.max_clutter = max_clutter
 
         self.phd_cfg = phd_config or phd.PHDConfig(
@@ -151,17 +158,28 @@ class Simulation:
                 cfg,
                 np.asarray(self.world.pose, self.dtype),
                 max_poses=len(self.commands) + 2,
-                max_landmarks=max(4 * len(self.world.landmarks), 64),
+                max_landmarks=(
+                    256 if self.kinect is not None
+                    else max(4 * len(self.world.landmarks), 64)
+                ),
                 meas_per_frame=self.max_meas,
                 onlymapping=self.onlymapping,
                 dtype=self.dtype,
             )
             self.mode_mapping = self.onlymapping
+        elif self.algorithm == "loopy":
+            # offline smoother: an inner online pass provides the initial
+            # estimate (LoopyPHDNavigator ctor semantics,
+            # LoopyPHDNavigator.cs:223-246); sweeps run in run()
+            self.loopy_sweeps = 5
+            self.mode_mapping = False
         else:
             raise ValueError(f"unknown algorithm {self.algorithm}")
 
     def _vehicle_frame(self):
         """Advance the vehicle and sample (or replay) a measurement set."""
+        if self.kinect is not None:
+            return self._kinect_frame()
         if self.replay is not None:
             return self._replay_frame()
         self.key, kupd, kmeas = jax.random.split(self.key, 3)
@@ -177,6 +195,30 @@ class Simulation:
         if not self.cfg.use_odometry:
             noisy = jnp.zeros_like(noisy)
         return noisy, z, mask, labels, visible, detected
+
+    def _kinect_frame(self):
+        """RGB-D frontend frame (KinectVehicle.Measure semantics,
+        KinectVehicle.cs:301-344): measurements from the vision pipeline,
+        no groundtruth pose, odometry from the command stream."""
+        i = self.frame_index
+        zs, _depth = self.kinect.measure(i)
+        d = self.model.meas_dim
+        z = np.zeros((self.max_meas, d), self.dtype)
+        n = min(len(zs), self.max_meas)
+        z[:n] = zs[:n, :d]
+        mask = np.arange(self.max_meas) < n
+        noisy = jnp.asarray(
+            self.current_command[: self.model.pose.odo_dim], self.dtype
+        )
+        lmax = self.vstate.landmarks.shape[0]
+        return (
+            noisy,
+            jnp.asarray(z),
+            jnp.asarray(mask),
+            None,
+            jnp.zeros(lmax, bool),
+            jnp.zeros(lmax, bool),
+        )
 
     def _replay_frame(self):
         """RecordVehicle playback (RecordVehicle.cs:150-240): pose from the
@@ -345,10 +387,65 @@ class Simulation:
             )
 
     def run(self, progress=False):
+        if self.algorithm == "loopy":
+            return self._run_loopy(progress)
         for i, cmd in enumerate(self.commands):
             self.step(cmd)
             if progress and (i + 1) % 50 == 0:
                 print(f"{i + 1}/{len(self.commands)}", flush=True)
+        return self
+
+    def _run_loopy(self, progress=False):
+        """Offline smoother driver: inner PHD pass for the initial estimate,
+        then annealed message-passing sweeps."""
+        from ..slam.loopynav import LoopyPHDNavigator
+
+        inner = Simulation(
+            self.cfg,
+            self.world,
+            self.commands,
+            algorithm="phd",
+            particles=self.particles,
+            onlymapping=self.onlymapping,
+            dtype=self.dtype,
+            phd_config=self.phd_cfg,
+            replay=self.replay,
+        )
+        inner.run(progress=progress)
+        est_traj = [f["poses"][f["best"]] for f in inner.frames]
+        odometry = [o for _, o in inner.way_odometry]
+        meas = [zs for _, zs in inner.way_measurements]
+
+        self.loopy = LoopyPHDNavigator(
+            self.model,
+            self.cfg,
+            np.array(est_traj),
+            odometry,
+            meas,
+            max_meas=self.max_meas,
+            dtype=self.dtype,
+        )
+        for s in range(self.loopy_sweeps):
+            self.loopy.sweep()
+            if progress:
+                print(f"sweep {s + 1}/{self.loopy_sweeps}", flush=True)
+
+        # histories: groundtruth streams from the inner run; estimate and map
+        # from the smoother
+        self.waypoints = inner.waypoints
+        self.way_odometry = inner.way_odometry
+        self.way_measurements = inner.way_measurements
+        self.way_vismaps = inner.way_vismaps
+        self.tags = inner.tags
+        traj = self.loopy.trajectory
+        self.frames = [
+            {"poses": traj[i][None, :], "best": 0} for i in range(len(traj))
+        ]
+        final_map = self.loopy.map_model()
+        self.way_maps = [
+            (t, final_map if i == len(inner.way_maps) - 1 else [])
+            for i, (t, _) in enumerate(inner.way_maps)
+        ]
         return self
 
     # ------------------------------------------------------------------

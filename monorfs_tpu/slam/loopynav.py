@@ -1,0 +1,90 @@
+"""Host-side driver for the Loopy-PHD smoother.
+
+Mirrors the reference navigator lifecycle (LoopyPHDNavigator.cs:223-311):
+built from an initial trajectory estimate (an inner PHD/odometry run or a
+recorded estimate) plus the odometry and measurement logs, then iterated in
+annealed sweeps (temperature 5 / sweep, :369-377). One `sweep()` here equals
+one full pass over all nodes (the reference spreads a pass over T SlamUpdate
+ticks)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..gm import mixture
+from . import loopy
+
+
+class LoopyPHDNavigator:
+    def __init__(self, model, cfg, trajectory, odometry, measurements,
+                 max_meas=16, dtype=np.float64, loopy_cfg=None):
+        """trajectory: [T, S] initial estimate; odometry: list of readings
+        (odometry[t] produced pose t from pose t-1); measurements: list of
+        per-frame measurement lists."""
+        self.model = model
+        self.cfg = cfg
+        self.dtype = dtype
+        t = len(trajectory)
+        self.n_nodes = t
+        self.lcfg = loopy_cfg or loopy.LoopyConfig(max_nodes=t,
+                                                   max_meas=max_meas)
+        d = model.meas_dim
+
+        # node-to-node odometry: link j -> j+1 is the reading that produced
+        # frame j+1 (reference Odometry[i-1] semantics, :440)
+        odo = np.zeros((self.lcfg.max_nodes, model.pose.odo_dim))
+        for j in range(t - 1):
+            odo[j] = odometry[j + 1]
+        self.odometry = jnp.asarray(odo, dtype)
+
+        z = np.zeros((self.lcfg.max_nodes, max_meas, d))
+        zm = np.zeros((self.lcfg.max_nodes, max_meas), bool)
+        for i, zs in enumerate(measurements[:t]):
+            for k, zi in enumerate(list(zs)[:max_meas]):
+                z[i, k] = np.asarray(zi)[:d]
+                zm[i, k] = True
+        self.z = jnp.asarray(z, dtype)
+        self.z_mask = jnp.asarray(zm)
+
+        traj = np.zeros((self.lcfg.max_nodes, model.pose.state_dim))
+        traj[:t] = np.asarray(trajectory)
+        traj[t:] = np.asarray(trajectory)[-1]
+        self.state = loopy.init_state(model, self.lcfg, traj, t, dtype)
+
+        self.params = cfg.phd_params(dtype)
+        self.motion_cov = jnp.asarray(cfg.motion_covariance, dtype)
+        self.grad_clip = jnp.asarray(cfg.gradient_clip, dtype)
+        self.grad_rate = jnp.asarray(cfg.gradient_ascent_rate, dtype)
+        self._sweep = jax.jit(loopy.make_sweep(model, self.lcfg))
+        self._sweep_causal = jax.jit(
+            loopy.make_sweep(model, self.lcfg, causal=True)
+        )
+        self.sweeps = 0
+
+    def sweep(self):
+        """First pass uses causal (filtering) maps -- the reference's growing
+        tofilter schedule -- anchoring the gauge at the trajectory start;
+        later passes use full leave-block-out cavity maps."""
+        temperature = jnp.asarray(5.0 / (self.sweeps + 1), self.dtype)
+        fn = self._sweep_causal if self.sweeps == 0 else self._sweep
+        self.state = fn(
+            self.params, self.state, self.odometry, self.z, self.z_mask,
+            temperature, self.grad_clip, self.grad_rate, self.motion_cov,
+        )
+        self.sweeps += 1
+        return self
+
+    @property
+    def trajectory(self):
+        traj = np.asarray(loopy.fused_trajectory(self.model, self.state))
+        return traj[: self.n_nodes]
+
+    def map_model(self):
+        gm = loopy.final_map(self.model, self.lcfg, self.params, self.state,
+                             self.z, self.z_mask)
+        alive = np.asarray(mixture.alive(gm))
+        w = np.asarray(mixture.weights(gm))
+        return [
+            (float(w[i]), np.asarray(gm.mean[i]), np.asarray(gm.cov[i]))
+            for i in np.nonzero(alive)[0]
+        ]
