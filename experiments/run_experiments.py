@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Experiment harness: the reference's chap3/chap4/chap5 grids.
+
+Mirrors mono-rfs/plots/scripts/** (e.g. chap3/S1-phd-odometry.sh:13-33,
+chap4/S1-baseline.sh, chap5/S2-standard.sh): each experiment solves a world
+with one or more algorithms (re-solving the identical recorded data where
+the reference does), runs postanalysis, and renders plots.
+
+Usage:
+  python experiments/run_experiments.py chap3-s1 [--outdir out]
+  python experiments/run_experiments.py chap3-s4   # particle sweep
+  python experiments/run_experiments.py chap4-s1 [--variant noisy|cluttery|missed]
+  python experiments/run_experiments.py chap5-s2
+  python experiments/run_experiments.py all
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+HERE = pathlib.Path(__file__).parent
+ROOT = HERE.parent
+sys.path.insert(0, str(ROOT))
+
+
+def _setup():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+
+def run_cli(args):
+    from monorfs_tpu.cli import main
+
+    t0 = time.time()
+    main(args)
+    return time.time() - t0
+
+
+def analyze(recfile, outdir):
+    from monorfs_tpu.postanalysis import analyze as _analyze, write_data_files
+    from monorfs_tpu.io.recording import Recording
+    from monorfs_tpu.metrics import rmse
+
+    rec = Recording.load(recfile)
+    results = _analyze(rec)
+    write_data_files(results, str(recfile))
+    return {
+        "ate_loc_rmse": rmse(results["loc"]),
+        "ate_rot_rmse": rmse(results["rot"]),
+        "final_ospa": results["map"][-1][1] if results["map"] else None,
+    }
+
+
+def plot_series(recfiles, labels, metric, output, title):
+    """topdf.py equivalent: render .data series to png
+    (reference: plots/scripts/topdf.py:30-301)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for rec, label in zip(recfiles, labels):
+        path = f"{rec}.{metric}.data"
+        xs, ys = [], []
+        try:
+            with open(path) as f:
+                for line in f:
+                    t, v = line.split()
+                    xs.append(float(t))
+                    ys.append(float(v))
+        except FileNotFoundError:
+            continue
+        ax.plot(xs, ys, label=label, lw=1.0)
+    ax.set_xlabel("time [s]")
+    ax.set_ylabel(metric)
+    ax.set_title(title)
+    ax.legend()
+    fig.savefig(output, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def chap3_s1(outdir, particles=100):
+    """PHD vs odometry on the 3D sim world (chap3/S1-phd-odometry.sh)."""
+    out = outdir / "chap3-s1"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = str(HERE / "configs" / "chap3-default.cfg")
+    phd = str(out / "phd.zip")
+    odo = str(out / "odometry.zip")
+    run_cli(["-f", str(ROOT / "assets/sim3d.world"),
+             "-c", str(ROOT / "assets/mov3d.in"), "-a", "phd",
+             "-p", str(particles), "-g", cfg, "-r", phd])
+    run_cli(["-f", phd, "-i", "record", "-a", "odometry", "-g", cfg,
+             "-r", odo])
+    stats = {"phd": analyze(phd, out), "odometry": analyze(odo, out)}
+    plot_series([phd, odo], ["phd", "odometry"], "loc",
+                str(out / "loc.png"), "ATE location")
+    plot_series([phd, odo], ["phd", "odometry"], "map",
+                str(out / "ospa.png"), "OSPA map error")
+    return stats
+
+
+def chap3_s4(outdir, sweep=(20, 100, 400)):
+    """Particle count sweep (chap3/S4-particles.sh)."""
+    out = outdir / "chap3-s4"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = str(HERE / "configs" / "chap3-default.cfg")
+    stats = {}
+    recs, labels = [], []
+    for p in sweep:
+        rec = str(out / f"phd{p}.zip")
+        elapsed = run_cli(
+            ["-f", str(ROOT / "assets/sim3d.world"),
+             "-c", str(ROOT / "assets/mov3d.in"), "-a", "phd",
+             "-p", str(p), "-g", cfg, "-r", rec])
+        stats[p] = analyze(rec, out)
+        stats[p]["elapsed_s"] = elapsed
+        recs.append(rec)
+        labels.append(f"{p} particles")
+    plot_series(recs, labels, "loc", str(out / "loc.png"),
+                "ATE by particle count")
+    return stats
+
+
+def chap4_s1(outdir, variant="default", particles=100):
+    """iSAM2 vs PHD vs odometry on identical data (chap4/S1-baseline.sh +
+    the noisy/cluttery/missed variants)."""
+    out = outdir / f"chap4-{variant}"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = str(HERE / "configs" / f"chap4-{variant}.cfg")
+    phd = str(out / "phd.zip")
+    run_cli(["-f", str(ROOT / "assets/sim3d.world"),
+             "-c", str(ROOT / "assets/mov3d.in"), "-a", "phd",
+             "-p", str(particles), "-g", cfg, "-r", phd])
+    stats = {"phd": analyze(phd, out)}
+    for alg in ("isam2", "odometry"):
+        rec = str(out / f"{alg}.zip")
+        run_cli(["-f", phd, "-i", "record", "-a", alg, "-g", cfg, "-r", rec])
+        stats[alg] = analyze(rec, out)
+    recs = [phd, str(out / "isam2.zip"), str(out / "odometry.zip")]
+    plot_series(recs, ["phd", "isam2", "odometry"], "loc",
+                str(out / "loc.png"), f"ATE location ({variant})")
+    plot_series(recs, ["phd", "isam2", "odometry"], "map",
+                str(out / "ospa.png"), f"OSPA ({variant})")
+    return stats
+
+
+def chap5_s2(outdir, particles=50):
+    """Loopy PHD vs PHD vs odometry, Linear2D (chap5/S2-standard.sh)."""
+    out = outdir / "chap5-s2"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = str(HERE / "configs" / "chap5-default2d.cfg")
+    phd = str(out / "phd.zip")
+    run_cli(["-f", str(ROOT / "assets/linear2d.world"),
+             "-c", str(ROOT / "assets/mov2d.in"), "-a", "phd",
+             "-p", str(particles), "-g", cfg, "-r", phd])
+    stats = {"phd": analyze(phd, out)}
+    for alg in ("loopy", "odometry"):
+        rec = str(out / f"{alg}.zip")
+        run_cli(["-f", phd, "-i", "record", "-a", alg, "-g", cfg, "-r", rec])
+        stats[alg] = analyze(rec, out)
+    recs = [phd, str(out / "loopy.zip"), str(out / "odometry.zip")]
+    plot_series(recs, ["phd", "loopy", "odometry"], "loc",
+                str(out / "loc.png"), "ATE location (2D)")
+    return stats
+
+
+EXPERIMENTS = {
+    "chap3-s1": chap3_s1,
+    "chap3-s4": chap3_s4,
+    "chap4-s1": chap4_s1,
+    "chap5-s2": chap5_s2,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("experiment", choices=list(EXPERIMENTS) + ["all"])
+    ap.add_argument("--outdir", default=str(HERE / "out"))
+    ap.add_argument("--variant", default="default")
+    args = ap.parse_args()
+    _setup()
+
+    outdir = pathlib.Path(args.outdir)
+    todo = list(EXPERIMENTS) if args.experiment == "all" else [args.experiment]
+    for name in todo:
+        fn = EXPERIMENTS[name]
+        kwargs = {"variant": args.variant} if name == "chap4-s1" else {}
+        print(f"=== {name} ===")
+        stats = fn(outdir, **kwargs)
+        for k, v in stats.items():
+            print(f"  {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,12 +25,22 @@ def _read_index(path):
 
 
 def _load_png(path):
-    """Minimal PNG loader (grayscale/RGB/16-bit) without external deps."""
-    import struct
-    import zlib
-
+    """PNG loader: native librfsio decoder when available (fast path), else
+    the pure-Python fallback below."""
     with open(path, "rb") as f:
         data = f.read()
+    from ..native import decode_png
+
+    native = decode_png(data)
+    if native is not None:
+        return native
+    return _load_png_py(data)
+
+
+def _load_png_py(data):
+    """Minimal pure-Python PNG decoder (grayscale/RGB/16-bit)."""
+    import struct
+    import zlib
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a png"
     pos = 8
     idat = b""

@@ -1,0 +1,130 @@
+"""Recording viewer: replay + rendering of recording zips.
+
+Headless re-design of the reference Viewer
+(reference: mono-rfs-lib/UI/Viewer.cs:58-649 + Manipulator draw pipeline):
+replays a recording frame by frame, rendering the groundtruth trajectory,
+the estimate, the measurement rays, and the map's 5-sigma covariance
+ellipses (Navigator.cs:313-390 eigendecomposition rendering) to PNG frames
+or a single overview figure. Tag editing round-trips through the recording
+format (Viewer tag workflow, Program.cs:249-268).
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+from .io.recording import Recording
+
+
+def _ellipse(mean, cov, nsigma=5.0, points=32):
+    """5-sigma ellipse polyline of a 2D (or top-2x2 of 3D) covariance
+    (Navigator.cs:313-390)."""
+    c = np.asarray(cov)[:2, :2]
+    w, v = np.linalg.eigh(c)
+    w = np.maximum(w, 0)
+    t = np.linspace(0, 2 * np.pi, points)
+    circle = np.stack([np.cos(t), np.sin(t)])
+    pts = v @ (np.sqrt(w)[:, None] * circle) * nsigma
+    return mean[0] + pts[0], mean[1] + pts[1]
+
+
+def render_overview(rec: Recording, output, frame=None, show_measurements=True):
+    """Render one overview figure: groundtruth + estimate trajectories,
+    landmarks, map ellipses (and the selected frame's measurements)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+
+    truth = np.array([s[:2] if len(s) < 7 else s[:2] for _, s in rec.trajectory])
+    ax.plot(truth[:, 0], truth[:, 1], "k-", lw=1.2, label="groundtruth")
+
+    if rec.estimate:
+        est = np.array(
+            [traj[-1][1][:2] for _, traj in rec.estimate if traj]
+        )
+        ax.plot(est[:, 0], est[:, 1], "b-", lw=1.0, label="estimate")
+
+    if rec.world.landmarks.size:
+        lm = rec.world.landmarks
+        ax.plot(lm[:, 0], lm[:, 1], "k*", ms=8, label="landmarks")
+
+    fi = len(rec.maps) - 1 if frame is None else frame
+    if rec.maps and 0 <= fi < len(rec.maps):
+        for w, mean, cov in rec.maps[fi][1]:
+            if w < 0.5:
+                continue
+            ex, ey = _ellipse(mean, cov)
+            ax.plot(ex, ey, "g-", lw=0.7, alpha=0.8)
+            ax.plot(mean[0], mean[1], "g+", ms=6)
+
+    if show_measurements and rec.measurements and 0 <= fi < len(rec.measurements):
+        t, zs = rec.measurements[fi]
+        pose = truth[min(fi, len(truth) - 1)]
+        for z in zs:
+            if len(z) >= 2:
+                ax.plot(
+                    [pose[0], pose[0] + z[0]],
+                    [pose[1], pose[1] + z[1]],
+                    "r-", lw=0.4, alpha=0.5,
+                )
+
+    ax.set_aspect("equal")
+    ax.legend(loc="best", fontsize=8)
+    ax.set_title(f"frame {fi}")
+    fig.savefig(output, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return output
+
+
+def render_frames(rec: Recording, outdir, stride=10):
+    """Screenshot mode: render every `stride`-th frame
+    (Viewer.cs screenshot-tag batch mode, :214-)."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    outputs = []
+    for i in range(0, len(rec.maps), stride):
+        out = f"{outdir}/frame_{i:05d}.png"
+        render_overview(rec, out, frame=i)
+        outputs.append(out)
+    return outputs
+
+
+def add_tag(rec: Recording, time, message):
+    """Insert a tag (Viewer tag editing)."""
+    rec.tags.append((float(time), message))
+    rec.tags.sort(key=lambda x: x[0])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="monorfs-tpu-viewer")
+    ap.add_argument("-f", "--file", required=True, help="recording zip")
+    ap.add_argument("-o", "--output", default=None, help="output png")
+    ap.add_argument("--frames", default=None, help="render frame dir")
+    ap.add_argument("--stride", type=int, default=10)
+    ap.add_argument("--frame", type=int, default=None)
+    ap.add_argument("--tag", default=None, help="'time:message' tag to add")
+    args = ap.parse_args(argv)
+
+    rec = Recording.load(args.file)
+    if args.tag:
+        t, msg = args.tag.split(":", 1)
+        add_tag(rec, float(t), msg)
+        rec.save(args.file)
+        print(f"tag added at {t}: {msg}")
+    if args.frames:
+        outs = render_frames(rec, args.frames, args.stride)
+        print(f"{len(outs)} frames rendered to {args.frames}")
+    else:
+        out = args.output or (args.file + ".png")
+        render_overview(rec, out, frame=args.frame)
+        print(f"overview rendered to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
