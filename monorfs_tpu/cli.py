@@ -54,28 +54,31 @@ def main(argv=None):
     if args.input == "kinect":
         from .frontend.dataset import RGBDDataset
         from .frontend.kinect import KinectSource
-        from .models.prm3d import Params
+        from .models.kinect_model import Params as KinectParams
 
-        world = World(
-            pose=np.array([0, 0, 0, 1, 0, 0, 0.0]),
-            landmarks=np.zeros((0, 3)),
-            measurer_params=np.array(Params().to_linear()),
-        )
         kinect_source = KinectSource(
             RGBDDataset(args.file), delta=cfg.kinect_delta
         )
-        # camera intrinsics in the subsampled image frame
-        cam = Params()
-        sub = Params(
-            focal=cam.focal / cfg.kinect_delta,
-            film_left=cam.film_left / cfg.kinect_delta,
-            film_top=cam.film_top / cfg.kinect_delta,
-            film_width=cam.film_width / cfg.kinect_delta,
-            film_height=cam.film_height / cfg.kinect_delta,
+        # camera intrinsics + sensor geometry in the subsampled image frame
+        d = cfg.kinect_delta
+        cam = KinectParams()
+        sub = KinectParams(
+            focal=cam.focal / d,
+            film_left=cam.film_left / d,
+            film_top=cam.film_top / d,
+            film_width=cam.film_width / d,
+            film_height=cam.film_height / d,
             range_min=cam.range_min,
             range_max=cam.range_max,
+            res_x=cam.res_x / d,
+            res_y=cam.res_y / d,
+            border=max(1, cam.border // d),
         )
-        world.measurer_params = np.array(sub.to_linear())
+        world = World(
+            pose=np.array([0, 0, 0, 1, 0, 0, 0.0]),
+            landmarks=np.zeros((0, 3)),
+            measurer_params=np.array(sub.to_linear()),
+        )
         commands = (
             parse_commands(open(args.command).read()) if args.command else []
         )

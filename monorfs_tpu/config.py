@@ -281,4 +281,5 @@ class Config:
             min_effective_particle=jnp.asarray(self.min_effective_particle, dtype),
             visibility_ramp=jnp.asarray(self.visibility_ramp, dtype),
             dt=jnp.asarray(self.measure_elapsed, dtype),
+            depth_map=jnp.full((1, 1), jnp.inf, dtype),
         )

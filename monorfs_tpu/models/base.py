@@ -46,9 +46,20 @@ class Model:
     fuzzy_visible: Callable  # (params, z, ramp [D]) -> [0, 1]
     random_measure: Callable  # (params, key, shape) -> z [*shape, D]
     volume: Callable  # (params) -> float
+    # depth-occlusion models take the live depth map as an extra trailing
+    # argument to visible/fuzzy_visible (KinectMeasurer equivalent)
+    uses_depth: bool = False
 
     def with_params(self, params):
         return dataclasses.replace(self, params=params)
+
+    def fuzzy_visible_fn(self, depth_map):
+        """fuzzy_visible closed over the (possibly unused) depth map."""
+        if self.uses_depth:
+            return lambda params, z, ramp: self.fuzzy_visible(
+                params, z, ramp, depth_map
+            )
+        return self.fuzzy_visible
 
 
 _REGISTRY = {}

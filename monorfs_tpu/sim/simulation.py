@@ -30,7 +30,14 @@ DIRAC_COV = 0.001 * np.eye(3)
 
 
 def model_for_config(cfg: Config, world: World):
-    model = get_model(cfg.model)
+    name = cfg.model
+    if (
+        name == "PRM3D"
+        and world.measurer_params is not None
+        and len(world.measurer_params) == 10
+    ):
+        name = "Kinect"  # 10-value descriptor = KinectMeasurer (cs:94-106)
+    model = get_model(name)
     if world.measurer_params is not None:
         model = model.with_params(
             model.params.from_linear(world.measurer_params)
@@ -201,7 +208,12 @@ class Simulation:
         KinectVehicle.cs:301-344): measurements from the vision pipeline,
         no groundtruth pose, odometry from the command stream."""
         i = self.frame_index
-        zs, _depth = self.kinect.measure(i)
+        zs, depth = self.kinect.measure(i)
+        if self.model.uses_depth:
+            # re-bind the live depth map for occlusion-aware visibility
+            self.nparams = self.nparams._replace(
+                depth_map=jnp.asarray(depth, self.dtype)
+            )
         d = self.model.meas_dim
         z = np.zeros((self.max_meas, d), self.dtype)
         n = min(len(zs), self.max_meas)

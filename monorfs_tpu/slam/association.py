@@ -27,7 +27,7 @@ NEG = -1.0e30
 
 
 def association_matrices(model, pose, map_means, map_mask, meas_cov, pd, ramp,
-                         gate, fuzzy_pd):
+                         gate, fuzzy_pd, depth_map=None):
     """Build the gated association log-likelihood pieces
     (SetLogLikeMatrix, PHDNavigator.cs:415-453 / quasi variant :567-635).
 
@@ -41,7 +41,12 @@ def association_matrices(model, pose, map_means, map_mask, meas_cov, pd, ramp,
     """
     mu = model.measure(model.params, pose, map_means)  # [N, D]
     if fuzzy_pd:
-        pdv = model.fuzzy_visible(model.params, mu, ramp) * pd
+        fuzzy = (
+            model.fuzzy_visible_fn(depth_map)
+            if getattr(model, "uses_depth", False)
+            else model.fuzzy_visible
+        )
+        pdv = fuzzy(model.params, mu, ramp) * pd
     else:
         pdv = jnp.full(mu.shape[:-1], pd, mu.dtype)
     pdv = jnp.clip(pdv, 1e-30, 1.0 - 1e-7)

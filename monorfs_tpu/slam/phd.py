@@ -45,6 +45,10 @@ class PHDConfig:
     gate_top: int = 16  # dense stand-in for KD-tree Near per measurement
     estimate_cap: int = 128  # cap on the MAP map estimate size
     beam_width: int = 200  # association hypotheses (PHDNavigator.cs:469)
+    beam_meas_cap: int = 0  # beam scan length; 0 = max_measurements.
+    # Valid measurements are compacted to the front before the weight-update
+    # beam, so a cap below max_measurements only drops measurements in
+    # crowded frames (mirrors the reference's own hypothesis truncation).
 
 
 class PHDParams(NamedTuple):
@@ -65,6 +69,8 @@ class PHDParams(NamedTuple):
     min_effective_particle: jax.Array
     visibility_ramp: jax.Array  # [D]
     dt: jax.Array  # frame time (scales motion noise)
+    depth_map: jax.Array  # [H, W] live depth for Kinect visibility (dummy
+    # [1, 1] +inf map for models without depth occlusion)
 
 
 class PHDState(NamedTuple):
@@ -134,9 +140,10 @@ def _correct(model, cfg, params, pose, predicted: GM, z, z_mask):
     alive = mixture.alive(predicted)
 
     h = model.measure(model.params, pose[None, :], predicted.mean)  # [K', D]
+    fuzzy = model.fuzzy_visible_fn(params.depth_map)
     pd_k = jnp.where(
         alive,
-        model.fuzzy_visible(model.params, h, params.visibility_ramp) * params.pd,
+        fuzzy(model.params, h, params.visibility_ramp) * params.pd,
         0.0,
     )
     pd_k = jnp.clip(pd_k, 0.0, 1.0 - 1e-7)
@@ -219,14 +226,20 @@ def _weight_alpha(model, cfg, params, pose, predicted: GM, corrected: GM,
     n_pred = mixture.expected_size(predicted)
     n_corr = mixture.expected_size(corrected)
 
+    # compact valid measurements to the front and cap the beam length
+    m_cap = cfg.beam_meas_cap or z.shape[0]
+    order = jnp.argsort(~z_mask)[:m_cap]
+    zc = z[order]
+    zc_mask = z_mask[order]
+
     mu, log_pd, log_miss, r_inv, logmult = association.association_matrices(
         model, pose, jmeans, jvalid, params.meas_cov, params.pd,
-        params.visibility_ramp, 5.0, True,
+        params.visibility_ramp, 5.0, True, depth_map=params.depth_map,
     )
-    ll = association.likelihood_matrix(mu, log_pd, logmult, r_inv, z, 5.0)
-    ll = jnp.where(z_mask[None, :], ll, association.NEG)
+    ll = association.likelihood_matrix(mu, log_pd, logmult, r_inv, zc, 5.0)
+    ll = jnp.where(zc_mask[None, :], ll, association.NEG)
     setll = association.set_log_likelihood(
-        ll, log_miss, jnp.log(params.clutter_density), jvalid, z_mask,
+        ll, log_miss, jnp.log(params.clutter_density), jvalid, zc_mask,
         cfg.beam_width,
     )
     return setll + (plog - n_pred) - (clog - n_corr)
