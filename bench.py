@@ -43,6 +43,8 @@ def main():
         gate_top=8,
         estimate_cap=64,
         beam_width=64,
+        beam_meas_cap=24,
+        merge_rounds=4,
     )
     result = run_benchmark(
         HERE / "assets" / "sim3d.world",

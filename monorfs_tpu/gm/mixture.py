@@ -83,6 +83,23 @@ def evaluate(gm: GM, x, radius=None):
     return jnp.sum(vals, axis=-1)
 
 
+def evaluate_many(gm: GM, points, radius=None):
+    """Mixture density at many points [E, D] -> [E]: component inverses and
+    normalizers computed once, not per point (the hot path for Explored
+    checks and WeightAlpha evaluations)."""
+    inv = gaussian.inv(gm.cov)  # [K, D, D]
+    logmult = gaussian.log_multiplier(gm.cov)  # [K]
+    diff = points[:, None, :] - gm.mean[None, :, :]  # [E, K, D]
+    m2 = jnp.einsum("ekd,kdc,ekc->ek", diff, inv, diff)
+    logp = logmult[None, :] - 0.5 * m2
+    mask = alive(gm)[None, :]
+    if radius is not None:
+        dist2 = jnp.sum(diff * diff, axis=-1)
+        mask = mask & (dist2 <= radius * radius)
+    vals = jnp.where(mask, jnp.exp(gm.logw[None, :] + logp), 0.0)
+    return jnp.sum(vals, axis=-1)
+
+
 def best_map_indices(logw, cap=None, max_multiplicity=4):
     """Marginal multi-object (MAP) estimate selection (Map.cs:119-142):
     pick floor(sum w) components greedily by weight, decrementing the chosen
@@ -107,7 +124,8 @@ def best_map_indices(logw, cap=None, max_multiplicity=4):
     return idx, valid
 
 
-def prune_merge(gm: GM, max_quantity, min_weight, merge_threshold):
+def prune_merge(gm: GM, max_quantity, min_weight, merge_threshold,
+                rounds=8):
     """Prune + merge (PHDNavigator.cs:913-948): sort by weight descending,
     cut at `max_quantity` / first weight below `min_weight`, then greedily
     merge later components into the heaviest earlier component within
@@ -140,7 +158,7 @@ def prune_merge(gm: GM, max_quantity, min_weight, merge_threshold):
         conflict = jnp.any(lower & is_leader[:, None], axis=0)
         return live & ~conflict
 
-    is_leader = jax.lax.fori_loop(0, 16, round_, live)
+    is_leader = jax.lax.fori_loop(0, rounds, round_, live)
     eligible = lower & is_leader[:, None]  # [i leader, k candidate]
     has = jnp.any(eligible, axis=0)
     leader = jnp.where(has, jnp.argmax(eligible, axis=0), idx)

@@ -66,7 +66,8 @@ def likelihood_matrix(mu, log_pd, logmult, r_inv, z, gate):
     return jnp.where(d2 < gate * gate, ll, NEG)
 
 
-def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width):
+def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
+                       max_candidates=8):
     """Truncated sum over data associations.
 
     ll: [N, M] gated landmark-measurement log-likelihoods (NEG when gated
@@ -78,40 +79,49 @@ def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width):
     sum(log_miss) + sum_k [choice_k], with choice_k in
     {log_clutter} u {ll[i,k] - log_miss[i]}.
 
+    Per measurement only its `max_candidates` best gated landmarks are
+    enumerated (selected once outside the sequential beam scan) -- exact
+    whenever a measurement gates against at most that many landmarks, which
+    the Mahalanobis gate guarantees in practice, and it keeps the in-scan
+    top_k small (sequential-step latency dominates on TPU).
+
     Returns logsumexp over the top-`beam_width` assignments.
     """
     n, m = ll.shape
+    c = min(max_candidates, n)
     dtype = ll.dtype
     base = jnp.sum(jnp.where(n_mask, log_miss, 0.0))
     delta = jnp.where(
         (ll > NEG / 2) & n_mask[:, None], ll - log_miss[:, None], NEG
     )  # [N, M]
 
+    # per-measurement candidate pre-selection: [M, C] scores + indices
+    cand_delta, cand_idx = jax.lax.top_k(delta.T, c)
+
     scores0 = jnp.full((beam_width,), NEG, dtype).at[0].set(base)
     used0 = jnp.zeros((beam_width, n), bool)
 
     def step(carry, inputs):
         scores, used = carry
-        delta_k, active = inputs
-        # candidate scores: [B, 1 + N] (clutter first)
-        land = scores[:, None] + jnp.where(used, NEG, delta_k[None, :])
+        delta_k, idx_k, active = inputs  # [C], [C], scalar
+        used_k = used[:, idx_k]  # [B, C]
+        land = scores[:, None] + jnp.where(used_k, NEG, delta_k[None, :])
         cand = jnp.concatenate([scores[:, None] + log_clutter, land], axis=1)
-        flat = cand.reshape(-1)
-        top, idx = jax.lax.top_k(flat, beam_width)
-        src = idx // (n + 1)
-        choice = idx % (n + 1)  # 0 = clutter, 1 + i = landmark i
+        top, flat = jax.lax.top_k(cand.reshape(-1), beam_width)
+        src = flat // (c + 1)
+        choice = flat % (c + 1)  # 0 = clutter, 1 + j = candidate j
         new_used = used[src]
-        pick = choice - 1  # -1 for clutter
-        new_used = jnp.where(
-            (pick[:, None] >= 0) & (jnp.arange(n)[None, :] == pick[:, None]),
-            True,
-            new_used,
+        picked_lm = jnp.where(choice > 0, idx_k[choice - 1], n)  # n = none
+        new_used = new_used | (
+            jnp.arange(n)[None, :] == picked_lm[:, None]
         )
         scores = jnp.where(active, top, scores)
         used = jnp.where(active, new_used, used)
         return (scores, used), None
 
-    (scores, _), _ = jax.lax.scan(step, (scores0, used0), (delta.T, m_mask))
+    (scores, _), _ = jax.lax.scan(
+        step, (scores0, used0), (cand_delta, cand_idx, m_mask)
+    )
     return jax.scipy.special.logsumexp(jnp.where(scores > NEG / 2, scores, -jnp.inf))
 
 

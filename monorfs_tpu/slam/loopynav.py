@@ -17,7 +17,8 @@ from . import loopy
 
 class LoopyPHDNavigator:
     def __init__(self, model, cfg, trajectory, odometry, measurements,
-                 max_meas=16, dtype=np.float64, loopy_cfg=None):
+                 max_meas=16, dtype=np.float64, loopy_cfg=None,
+                 link_cov=None):
         """trajectory: [T, S] initial estimate; odometry: list of readings
         (odometry[t] produced pose t from pose t-1); measurements: list of
         per-frame measurement lists."""
@@ -52,7 +53,16 @@ class LoopyPHDNavigator:
         self.state = loopy.init_state(model, self.lcfg, traj, t, dtype)
 
         self.params = cfg.phd_params(dtype)
-        self.motion_cov = jnp.asarray(cfg.motion_covariance, dtype)
+        # chain-link noise: the vehicle generates odometry noise as
+        # dt * N(0, Q) (Vehicle.cs:330-333), so the message-passing chain
+        # must use dt^2 Q. (The reference smoother adds the raw Q per link,
+        # LoopyPHDNavigator.cs:447 -- dimensionally inconsistent with its
+        # own vehicle; with the raw Q the chain is believed ~900x weaker
+        # than reality and map messages destroy the odometry information.)
+        dt = cfg.measure_elapsed
+        if link_cov is None:
+            link_cov = dt * dt * cfg.motion_covariance
+        self.motion_cov = jnp.asarray(link_cov, dtype)
         self.grad_clip = jnp.asarray(cfg.gradient_clip, dtype)
         self.grad_rate = jnp.asarray(cfg.gradient_ascent_rate, dtype)
         self._sweep = jax.jit(loopy.make_sweep(model, self.lcfg))

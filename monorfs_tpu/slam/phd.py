@@ -46,6 +46,7 @@ class PHDConfig:
     estimate_cap: int = 128  # cap on the MAP map estimate size
     beam_width: int = 200  # association hypotheses (PHDNavigator.cs:469)
     beam_meas_cap: int = 0  # beam scan length; 0 = max_measurements.
+    merge_rounds: int = 8  # prune-merge leader fixed-point iterations
     # Valid measurements are compacted to the front before the weight-update
     # beam, so a cap below max_measurements only drops measurements in
     # crowded frames (mirrors the reference's own hypothesis truncation).
@@ -119,9 +120,9 @@ def _births(model, params, pose, maps: GM, z, z_mask):
     """Birth components at unexplored back-projections
     (PredictConditional, PHDNavigator.cs:793-819 + Explored :956-959)."""
     cand = model.to_map(model.params, pose[None, :], z)  # [M, 3]
-    density = jax.vmap(
-        lambda c: mixture.evaluate(maps, c, radius=3.0 * params.density_radius)
-    )(cand)
+    density = mixture.evaluate_many(
+        maps, cand, radius=3.0 * params.density_radius
+    )
     unexplored = z_mask & (density < params.exploration_threshold)
     logw = jnp.where(unexplored, jnp.log(params.birth_weight), DEAD)
     m = z.shape[0]
@@ -218,7 +219,7 @@ def _weight_alpha(model, cfg, params, pose, predicted: GM, corrected: GM,
     jmeans = corrected.mean[jidx]  # [E, 3]
 
     def mixture_loglike(gm):
-        vals = jax.vmap(lambda c: mixture.evaluate(gm, c))(jmeans)
+        vals = mixture.evaluate_many(gm, jmeans)
         return jnp.sum(jnp.where(jvalid, jnp.log(jnp.maximum(vals, 1e-300)), 0.0))
 
     plog = mixture_loglike(predicted)
@@ -284,6 +285,7 @@ def make_slam_step(model, cfg: PHDConfig, slam: bool = True):
             cfg.max_components,
             params.min_weight,
             params.merge_threshold,
+            rounds=cfg.merge_rounds,
         )
         if slam:
             dlog = _weight_alpha(

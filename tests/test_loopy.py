@@ -88,6 +88,7 @@ def test_smoother_improves_dead_reckoning():
             max_nodes=len(est), max_meas=16, mix_cap=4, blocks=4,
             ga_iters=6, jmap_cap=16, beam_width=16,
         ),
+        link_cov=np.diag([0.05**2, 0.05**2]),  # the test's readings noise
     )
     err0 = np.sqrt(np.mean(np.sum((est - truth) ** 2, axis=1)))
     for _ in range(5):
