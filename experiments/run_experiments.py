@@ -168,10 +168,35 @@ def chap5_s2(outdir, particles=50):
     return stats
 
 
+def chap4_s8(outdir, particles=100):
+    """'Sandwich': solve the same recorded data with a chain of algorithms
+    (chap4/S8-sandwich.sh:10-48: known-DA iSAM2 -> odometry -> PHD ->
+    Mahalanobis iSAM2 over one shared record)."""
+    out = outdir / "chap4-s8"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = str(HERE / "configs" / "chap4-default.cfg")
+    base = str(out / "record.zip")
+    run_cli(["-f", str(ROOT / "assets/sim3d.world"),
+             "-c", str(ROOT / "assets/mov3d.in"), "-a", "phd",
+             "-p", str(particles), "-g", cfg, "-r", base])
+    stats = {"phd": analyze(base, out)}
+    for alg in ("isam2", "odometry"):
+        rec = str(out / f"{alg}.zip")
+        run_cli(["-f", base, "-i", "record", "-a", alg, "-g", cfg, "-r", rec])
+        stats[alg] = analyze(rec, out)
+    # re-solve the odometry-solved record with phd again (the sandwich turn)
+    rec2 = str(out / "phd-resolve.zip")
+    run_cli(["-f", str(out / "odometry.zip"), "-i", "record", "-a", "phd",
+             "-p", str(particles), "-g", cfg, "-r", rec2])
+    stats["phd-resolve"] = analyze(rec2, out)
+    return stats
+
+
 EXPERIMENTS = {
     "chap3-s1": chap3_s1,
     "chap3-s4": chap3_s4,
     "chap4-s1": chap4_s1,
+    "chap4-s8": chap4_s8,
     "chap5-s2": chap5_s2,
 }
 

@@ -33,6 +33,8 @@ def build_parser():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--progress", action="store_true")
+    ap.add_argument("--checkpoint", default=None,
+                    help="periodic checkpoint recording file")
     return ap
 
 
@@ -119,7 +121,28 @@ def main(argv=None):
         replay=rec,
         kinect_source=kinect_source,
     )
-    sim.run(progress=args.progress)
+
+    # SIGINT -> graceful abort + save (Program.cs:65-87 dedicated thread)
+    import signal
+
+    abort = [False]
+    prev_handler = signal.getsignal(signal.SIGINT)
+
+    def _on_sigint(signum, frame):
+        abort[0] = True
+
+    try:
+        signal.signal(signal.SIGINT, _on_sigint)
+    except ValueError:
+        pass  # non-main thread
+    try:
+        sim.run(progress=args.progress, checkpoint_file=args.checkpoint,
+                abort_flag=abort)
+    finally:
+        try:
+            signal.signal(signal.SIGINT, prev_handler)
+        except ValueError:
+            pass
     elapsed = time.time() - t0
     print(f"finished running ({elapsed:.4f} s)")
 

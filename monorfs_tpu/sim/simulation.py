@@ -398,13 +398,30 @@ class Simulation:
                 }
             )
 
-    def run(self, progress=False):
+    def run(self, progress=False, checkpoint_file=None, abort_flag=None):
+        """Run all frames. With `checkpoint_file`, the full recording is
+        rewritten every CheckpointCycleTime seconds
+        (Simulation.cs:500-510); `abort_flag` (a mutable [bool]) stops
+        gracefully mid-run (the SIGINT path, Program.cs:65-87)."""
         if self.algorithm == "loopy":
             return self._run_loopy(progress)
+        import time as _time
+
+        last_checkpoint = _time.time()
         for i, cmd in enumerate(self.commands):
+            if abort_flag is not None and abort_flag[0]:
+                print("aborted; saving progress", flush=True)
+                break
             self.step(cmd)
             if progress and (i + 1) % 50 == 0:
                 print(f"{i + 1}/{len(self.commands)}", flush=True)
+            if (
+                checkpoint_file
+                and _time.time() - last_checkpoint
+                > self.cfg.checkpoint_cycle_time
+            ):
+                self.save(checkpoint_file)
+                last_checkpoint = _time.time()
         return self
 
     def _run_loopy(self, progress=False):
