@@ -126,14 +126,32 @@ def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
 
 
 def quasi_set_log_likelihood(model, meas_cov, pd, log_clutter, pose,
-                             map_means, map_mask, z, z_mask, beam_width=200):
+                             map_means, map_mask, z, z_mask, beam_width=200,
+                             lm_cov=None):
     """QuasiSetLogLikelihood (PHDNavigator.cs:526-713): constant PD, gate 12,
     visibility ignored. Differentiable in `pose` -- jax.grad reproduces the
-    reference's analytic gradient path."""
+    reference's analytic gradient path.
+
+    With `lm_cov` ([N, 3, 3] landmark covariances), the per-landmark
+    innovation covariance S_i = J_i P_i J_i^T + R replaces the bare R: the
+    likelihood then accounts for the map's own uncertainty, which keeps the
+    smoother's map messages correctly calibrated (the reference uses R only,
+    overclaiming precision against its estimated map)."""
     mu, log_pd, log_miss, r_inv, logmult = association_matrices(
         model, pose, map_means, map_mask, meas_cov, pd, None, 12.0, False
     )
-    ll = likelihood_matrix(mu, log_pd, logmult, r_inv, z, 12.0)
+    if lm_cov is not None:
+        jl = model.jac_landmark(model.params, pose, map_means)  # [N, D, 3]
+        jl = jnp.broadcast_to(jl, (map_means.shape[0],) + jl.shape[-2:])
+        s = jnp.einsum("nda,nab,neb->nde", jl, lm_cov, jl) + meas_cov
+        s_inv = gaussian.inv(s)  # [N, D, D]
+        logmult_n = gaussian.log_multiplier(s)  # [N]
+        diff = z[None, :, :] - mu[:, None, :]
+        d2 = jnp.einsum("nmd,nde,nme->nm", diff, s_inv, diff)
+        ll = log_pd[:, None] + logmult_n[:, None] - 0.5 * d2
+        ll = jnp.where(d2 < 144.0, ll, NEG)
+    else:
+        ll = likelihood_matrix(mu, log_pd, logmult, r_inv, z, 12.0)
     ll = jnp.where(z_mask[None, :], ll, NEG)
     return set_log_likelihood(ll, log_miss, log_clutter, map_mask, z_mask,
                               beam_width)

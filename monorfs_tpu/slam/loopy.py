@@ -391,7 +391,7 @@ def cavity_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask):
         )
         gm = GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
         jidx, jvalid = mixture.best_map_indices(gm.logw, cfg.jmap_cap)
-        return gm.mean[jidx], jvalid
+        return gm.mean[jidx], gm.cov[jidx], jvalid
 
     return jax.vmap(run_block)(jnp.arange(b))
 
@@ -415,14 +415,16 @@ def causal_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask):
         # snapshot BEFORE processing frame t: map of frames 0..t-1
         gm = GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
         jidx, jvalid = mixture.best_map_indices(gm.logw, cfg.jmap_cap)
-        out = (gm.mean[jidx], jvalid)
+        out = (gm.mean[jidx], gm.cov[jidx], jvalid)
         st2 = step(params, st, jnp.zeros((model.pose.odo_dim,),
                                          map_poses.dtype),
                    z_t, mask_t, key, true_pose=pose_t)
         return st2, out
 
-    _, (jmaps, jvalids) = jax.lax.scan(frame, state0, (map_poses, z, z_mask))
-    return jmaps, jvalids
+    _, (jmaps, jcovs, jvalids) = jax.lax.scan(
+        frame, state0, (map_poses, z, z_mask)
+    )
+    return jmaps, jcovs, jvalids
 
 
 # ----------------------------------------------------------------------
@@ -430,15 +432,17 @@ def causal_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask):
 
 
 def quasi_ll(model, meas_cov, pd, log_clutter, lp, tangent, jmap, jvalid, z,
-             z_mask, beam):
+             z_mask, beam, jcov=None):
     pose = model.pose.add(lp, tangent)
     return association.quasi_set_log_likelihood(
-        model, meas_cov, pd, log_clutter, pose, jmap, jvalid, z, z_mask, beam
+        model, meas_cov, pd, log_clutter, pose, jmap, jvalid, z, z_mask, beam,
+        lm_cov=jcov,
     )
 
 
 def fit_map_message(model, cfg: LoopyConfig, params, lp, pose0, pf_cov, jmap,
-                    jvalid, z, z_mask, temperature, grad_clip, grad_rate):
+                    jcov, jvalid, z, z_mask, temperature, grad_clip,
+                    grad_rate):
     """Fit the (const + mixture) map factor at one node. Vectorized over
     guesses; vmapped over nodes by the caller."""
     o = model.pose.odo_dim
@@ -448,7 +452,7 @@ def fit_map_message(model, cfg: LoopyConfig, params, lp, pose0, pf_cov, jmap,
 
     def ll(tangent):
         return quasi_ll(model, mc, params.pd, log_clutter, lp, tangent, jmap,
-                        jvalid, z, z_mask, cfg.beam_width)
+                        jvalid, z, z_mask, cfg.beam_width, jcov=jcov)
 
     # guesses: pose0 + FitToMeasurement seeds within 0.5 of the estimate
     initpose = model.pose.add(lp, pose0)
@@ -481,7 +485,7 @@ def fit_map_message(model, cfg: LoopyConfig, params, lp, pose0, pf_cov, jmap,
     far = jnp.full((o,), 1e5, dtype)
     emptyspace = quasi_ll(model, mc, params.pd, log_clutter,
                           model.pose.identity(dtype), far, jmap, jvalid, z,
-                          z_mask, cfg.beam_width)
+                          z_mask, cfg.beam_width, jcov=jcov)
 
     # gradient ascent with a parallel step-size fan (:915-963 redesigned)
     def ga(tangent):
@@ -561,19 +565,24 @@ def map_sweep(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask,
     map_poses = model.pose.add(state.lp, pf_mean)
     t = state.lp.shape[0]
     if causal:
-        jmaps, jvalids = causal_maps(model, cfg, params, map_poses, z, z_mask)
+        jmaps, jcovs, jvalids = causal_maps(
+            model, cfg, params, map_poses, z, z_mask
+        )
         block_ids = jnp.arange(t)
     else:
-        jmaps, jvalids = cavity_maps(model, cfg, params, map_poses, z, z_mask)
+        jmaps, jcovs, jvalids = cavity_maps(
+            model, cfg, params, map_poses, z, z_mask
+        )
         block_ids = jnp.arange(t) % cfg.blocks
 
     def node(i):
         jmap = jmaps[block_ids[i]]
+        jcov = jcovs[block_ids[i]]
         jvalid = jvalids[block_ids[i]]
         has_meas = jnp.any(z_mask[i])
         const, mm, mc, mw = fit_map_message(
             model, cfg, params, state.lp[i], pf_mean[i], pf_cov[i], jmap,
-            jvalid, z[i], z_mask[i], temperature, grad_clip, grad_rate,
+            jcov, jvalid, z[i], z_mask[i], temperature, grad_clip, grad_rate,
         )
         # nodes without measurements carry an uninformative factor (:530-544)
         const = jnp.where(has_meas, const, 0.0)
@@ -624,6 +633,52 @@ def make_sweep(model, cfg: LoopyConfig, causal=False, damping=0.6):
 def fused_trajectory(model, state: LoopyState):
     """Current pose estimates: lp[t] + fused_mean[t]."""
     return model.pose.add(state.lp, state.fused_mean)
+
+
+def trajectory_objective(model, cfg: LoopyConfig, params, state: LoopyState,
+                         odometry, z, z_mask, motion_cov):
+    """Joint log-posterior score of the current fused trajectory: odometry
+    chain consistency + measurement set log-likelihood against the map built
+    from this trajectory. Used to select the best sweep (loopy message
+    passing on this model is not monotone; the reference simply runs a fixed
+    tick budget)."""
+    poses = fused_trajectory(model, state)
+    t = poses.shape[0]
+
+    # chain term
+    prev = jnp.roll(poses, 1, axis=0)
+    pred_delta = jax.vmap(model.pose.diff_odometry)(poses, prev)
+    err = pred_delta - jnp.roll(odometry, 1, axis=0)
+    minfo = gaussian.inv(motion_cov)
+    chain = -0.5 * jnp.einsum("td,de,te->t", err, minfo, err)
+    chain = jnp.where((jnp.arange(t) >= 1) & state.node_mask, chain, 0.0)
+
+    # map term: build the map once from this trajectory, score every frame
+    icfg = cfg.inner
+    step = phd.make_slam_step(model, icfg, slam=False)
+    st0 = phd.init_state(model, icfg, jnp.zeros_like(poses[0]), poses.dtype)
+    key = jax.random.PRNGKey(0)
+
+    def frame(st, inputs):
+        pose_t, z_t, m_t = inputs
+        return step(params, st, jnp.zeros((model.pose.odo_dim,), poses.dtype),
+                    z_t, m_t, key, true_pose=pose_t), None
+
+    st, _ = jax.lax.scan(frame, st0, (poses, z, z_mask))
+    gm = GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
+    jidx, jvalid = mixture.best_map_indices(gm.logw, cfg.jmap_cap)
+    jm, jc = gm.mean[jidx], gm.cov[jidx]
+    log_clutter = jnp.log(params.clutter_density)
+
+    def node_ll(i):
+        return association.quasi_set_log_likelihood(
+            model, params.meas_cov, params.pd, log_clutter, poses[i], jm,
+            jvalid, z[i], z_mask[i], cfg.beam_width, lm_cov=jc,
+        )
+
+    map_term = jax.vmap(node_ll)(jnp.arange(t))
+    map_term = jnp.where(state.node_mask, map_term, 0.0)
+    return jnp.sum(chain) + jnp.sum(map_term)
 
 
 def final_map(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask):

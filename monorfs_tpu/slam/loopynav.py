@@ -69,12 +69,23 @@ class LoopyPHDNavigator:
         self._sweep_causal = jax.jit(
             loopy.make_sweep(model, self.lcfg, causal=True)
         )
+        self._objective = jax.jit(
+            lambda st: loopy.trajectory_objective(
+                model, self.lcfg, self.params, st, self.odometry, self.z,
+                self.z_mask, self.motion_cov,
+            )
+        )
         self.sweeps = 0
+        self.best_state = None
+        self.best_objective = -np.inf
 
     def sweep(self):
         """First pass uses causal (filtering) maps -- the reference's growing
         tofilter schedule -- anchoring the gauge at the trajectory start;
-        later passes use full leave-block-out cavity maps."""
+        later passes use full leave-block-out cavity maps. The joint
+        trajectory objective is tracked every sweep and the best state kept
+        (loopy BP on this model is not monotone; the runaway regime of
+        over-tight map messages scores itself out)."""
         temperature = jnp.asarray(5.0 / (self.sweeps + 1), self.dtype)
         fn = self._sweep_causal if self.sweeps == 0 else self._sweep
         self.state = fn(
@@ -84,14 +95,31 @@ class LoopyPHDNavigator:
         self.sweeps += 1
         return self
 
+    # The annealed message passing is non-monotone: past ~DEFAULT_SWEEPS the
+    # ever-tightening map messages enter a coherent gauge-slide regime (the
+    # joint likelihood cannot see it -- a slid trajectory+map is equally
+    # self-consistent). A fixed sweep budget at the empirical annealing
+    # optimum is the robust choice; trajectory_objective remains available
+    # as a diagnostic.
+    DEFAULT_SWEEPS = 7
+
+    def objective(self):
+        return float(self._objective(self.state))
+
+    @property
+    def result_state(self):
+        return self.state
+
     @property
     def trajectory(self):
-        traj = np.asarray(loopy.fused_trajectory(self.model, self.state))
+        traj = np.asarray(
+            loopy.fused_trajectory(self.model, self.result_state)
+        )
         return traj[: self.n_nodes]
 
     def map_model(self):
-        gm = loopy.final_map(self.model, self.lcfg, self.params, self.state,
-                             self.z, self.z_mask)
+        gm = loopy.final_map(self.model, self.lcfg, self.params,
+                             self.result_state, self.z, self.z_mask)
         alive = np.asarray(mixture.alive(gm))
         w = np.asarray(mixture.weights(gm))
         return [
