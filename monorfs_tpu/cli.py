@@ -35,6 +35,8 @@ def build_parser():
     ap.add_argument("--progress", action="store_true")
     ap.add_argument("--checkpoint", default=None,
                     help="periodic checkpoint recording file")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="cap the number of frames to run")
     return ap
 
 
@@ -107,6 +109,12 @@ def main(argv=None):
             cfg.set_model_defaults(inferred)
 
     dtype = np.float64 if args.dtype == "float64" else np.float32
+    if args.frames is not None:
+        commands = commands[: args.frames]
+        if rec is not None:
+            rec.odometry = rec.odometry[: args.frames]
+            rec.trajectory = rec.trajectory[: args.frames]
+            rec.measurements = rec.measurements[: args.frames]
 
     t0 = time.time()
     sim = Simulation(
