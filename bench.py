@@ -42,8 +42,9 @@ def main():
         max_measurements=48,
         gate_top=8,
         estimate_cap=64,
-        beam_width=64,
+        beam_width=32,
         beam_meas_cap=24,
+        beam_candidates=6,
         merge_rounds=4,
     )
     result = run_benchmark(

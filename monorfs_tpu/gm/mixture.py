@@ -13,7 +13,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import gaussian
+from . import gaussian, smallmat
 
 # Finite stand-in for log(0): keeps arithmetic NaN-free.
 DEAD = -1.0e30
@@ -97,6 +97,123 @@ def evaluate_many(gm: GM, points, radius=None):
         dist2 = jnp.sum(diff * diff, axis=-1)
         mask = mask & (dist2 <= radius * radius)
     vals = jnp.where(mask, jnp.exp(gm.logw[None, :] + logp), 0.0)
+    return jnp.sum(vals, axis=-1)
+
+
+class SGM(NamedTuple):
+    """Structure-of-arrays Gaussian mixture: the TPU-layout twin of GM.
+
+    Every leaf is a plain [..., K] array, so XLA tiles them as (8, 128) with
+    no small-trailing-dim padding -- the [..., K, 3, 3] covariance tensor of
+    the AoS layout pads its (3, 3) tile to (8, 128), a ~100x HBM blowup that
+    dominated the PHD hot loop (BENCH.md). Covariances are symmetric and
+    stored as their 6 unique entries.
+    """
+
+    mx: jax.Array  # mean components [..., K]
+    my: jax.Array
+    mz: jax.Array
+    cxx: jax.Array  # symmetric covariance entries [..., K]
+    cxy: jax.Array
+    cxz: jax.Array
+    cyy: jax.Array
+    cyz: jax.Array
+    czz: jax.Array
+    logw: jax.Array  # [..., K]
+
+    @property
+    def capacity(self):
+        return self.logw.shape[-1]
+
+    @property
+    def dim(self):
+        return 3
+
+    def mean_list(self):
+        return [self.mx, self.my, self.mz]
+
+    def cov_mat(self):
+        """Symmetric covariance as a smallmat list-of-lists (aliases)."""
+        return smallmat.sym_to_mat(
+            (self.cxx, self.cxy, self.cxz, self.cyy, self.cyz, self.czz)
+        )
+
+    # AoS materialization for off-hot-path consumers (estimates, recording,
+    # smoother seeds); not used inside the per-frame step.
+    @property
+    def mean(self):
+        return jnp.stack(self.mean_list(), axis=-1)
+
+    @property
+    def cov(self):
+        return smallmat.to_tensor(self.cov_mat())
+
+
+def soa_of(gm: GM) -> SGM:
+    m = gm.mean
+    c = gm.cov
+    return SGM(
+        m[..., 0], m[..., 1], m[..., 2],
+        c[..., 0, 0], c[..., 0, 1], c[..., 0, 2],
+        c[..., 1, 1], c[..., 1, 2], c[..., 2, 2],
+        gm.logw,
+    )
+
+
+def aos_of(sgm: SGM) -> GM:
+    return GM(sgm.mean, sgm.cov, sgm.logw)
+
+
+def sgm_make(mean_list, cov_mat, logw) -> SGM:
+    """Build an SGM from a smallmat mean list + (symmetric) matrix, with all
+    leaves broadcast to logw's shape."""
+    c6 = smallmat.mat_to_sym(cov_mat)
+    bc = lambda a: jnp.broadcast_to(a, logw.shape).astype(logw.dtype)
+    return SGM(*[bc(m) for m in mean_list], *[bc(c) for c in c6], logw)
+
+
+def empty_soa(k, dtype=jnp.float32, batch=()):
+    zero = jnp.zeros(batch + (k,), dtype)
+    one = jnp.ones(batch + (k,), dtype)
+    return SGM(
+        zero, zero, zero,
+        one, zero, zero, one, zero, one,
+        jnp.full(batch + (k,), DEAD, dtype),
+    )
+
+
+def concat_soa(a: SGM, b: SGM) -> SGM:
+    return jax.tree.map(
+        lambda x, y: jnp.concatenate([x, y], axis=-1), a, b
+    )
+
+
+def take_soa(sgm: SGM, idx, axis=0) -> SGM:
+    """Gather components/particles along `axis` of every leaf."""
+    return jax.tree.map(lambda x: jnp.take(x, idx, axis=axis), sgm)
+
+
+def evaluate_many_soa(sgm: SGM, points, radius=None):
+    """Mixture density at many points (SoA twin of evaluate_many).
+
+    points: 3-list of [..., E] arrays batched like sgm's leading dims.
+    Returns [..., E]."""
+    cov = sgm.cov_mat()
+    dt = smallmat.det(cov)
+    inv = smallmat.inv(cov, dt)  # entries [..., K]
+    logmult = smallmat.log_multiplier(cov, dt)
+    diff = [
+        p[..., :, None] - m[..., None, :]
+        for p, m in zip(points, sgm.mean_list())
+    ]  # [..., E, K]
+    inv_e = [[entry[..., None, :] for entry in row] for row in inv]
+    m2 = smallmat.quadform(diff, inv_e)
+    logp = logmult[..., None, :] - 0.5 * m2
+    mask = (sgm.logw > ALIVE_THRESHOLD)[..., None, :]
+    if radius is not None:
+        dist2 = sum(d * d for d in diff)
+        mask = mask & (dist2 <= radius * radius)
+    vals = jnp.where(mask, jnp.exp(sgm.logw[..., None, :] + logp), 0.0)
     return jnp.sum(vals, axis=-1)
 
 

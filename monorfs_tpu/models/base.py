@@ -10,7 +10,9 @@ frozen) dataclass so jit specializes on them.
 """
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +52,16 @@ class Model:
     # argument to visible/fuzzy_visible (KinectMeasurer equivalent)
     uses_depth: bool = False
 
+    # structure-of-arrays (K-last) hot-path variants: landmarks and
+    # measurements are lists of [..., K] component arrays, matrices are
+    # smallmat lists (see gm/smallmat.py). Models without hand-written SoA
+    # forms fall back to stack/unstack adapters over the AoS functions
+    # (correct, but reintroduces padded [..., K, D] intermediates).
+    measure_soa: Optional[Callable] = None  # (params, pose, m 3-list) -> D-list
+    jac_landmark_soa: Optional[Callable] = None  # -> D x 3 smallmat list
+    to_map_soa: Optional[Callable] = None  # (params, pose, z D-list) -> 3-list
+    fuzzy_visible_soa: Optional[Callable] = None  # (params, z D-list, ramp)
+
     def with_params(self, params):
         return dataclasses.replace(self, params=params)
 
@@ -60,6 +72,60 @@ class Model:
                 params, z, ramp, depth_map
             )
         return self.fuzzy_visible
+
+    # -- SoA accessors with generic fallbacks ---------------------------------
+
+    def measure_soa_fn(self):
+        if self.measure_soa is not None:
+            return self.measure_soa
+
+        def fallback(params, pose, m):
+            z = self.measure(params, pose[..., None, :], jnp.stack(m, axis=-1))
+            return [z[..., i] for i in range(self.meas_dim)]
+
+        return fallback
+
+    def jac_landmark_soa_fn(self):
+        if self.jac_landmark_soa is not None:
+            return self.jac_landmark_soa
+
+        def fallback(params, pose, m):
+            j = self.jac_landmark(
+                params, pose[..., None, :], jnp.stack(m, axis=-1)
+            )
+            j = jnp.broadcast_to(
+                j, m[0].shape + (self.meas_dim, 3)
+            )
+            return [
+                [j[..., i, k] for k in range(3)] for i in range(self.meas_dim)
+            ]
+
+        return fallback
+
+    def to_map_soa_fn(self):
+        if self.to_map_soa is not None:
+            return self.to_map_soa
+
+        def fallback(params, pose, z):
+            lm = self.to_map(params, pose[..., None, :], jnp.stack(z, axis=-1))
+            return [lm[..., i] for i in range(3)]
+
+        return fallback
+
+    def fuzzy_visible_soa_fn(self, depth_map):
+        if self.fuzzy_visible_soa is not None:
+            if self.uses_depth:
+                return lambda params, z, ramp: self.fuzzy_visible_soa(
+                    params, z, ramp, depth_map
+                )
+            return self.fuzzy_visible_soa
+
+        base = self.fuzzy_visible_fn(depth_map)
+
+        def fallback(params, z, ramp):
+            return base(params, jnp.stack(z, axis=-1), ramp)
+
+        return fallback
 
 
 _REGISTRY = {}

@@ -74,6 +74,24 @@ def fuzzy_visible(p: Params, z, ramp, depth):
     return jnp.where(base <= 0, 0.0, jnp.clip(v, 0.0, 1.0))
 
 
+def _depth_at_soa(p: Params, z, depth):
+    h, w = depth.shape
+    x = jnp.clip((z[0] + p.res_x / 2).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((z[1] + p.res_y / 2).astype(jnp.int32), 0, h - 1)
+    return depth[y, x]
+
+
+def fuzzy_visible_soa(p: Params, z, ramp, depth):
+    """SoA twin of fuzzy_visible (z is a 3-list of [..., K] arrays)."""
+    base = prm3d.fuzzy_visible_soa(p, z, ramp)
+    d = _depth_at_soa(p, z, depth)
+    rng = z[2]
+    v = jnp.minimum(base, (rng - p.range_min) / ramp[2])
+    v = jnp.minimum(v, (d - rng) / ramp[2])
+    v = jnp.where(jnp.isnan(d), 0.0, v)
+    return jnp.where(base <= 0, 0.0, jnp.clip(v, 0.0, 1.0))
+
+
 MODEL = Model(
     name="Kinect",
     pose=prm3d.POSE_OPS,
@@ -89,4 +107,8 @@ MODEL = Model(
     random_measure=prm3d.random_measure,
     volume=prm3d.volume,
     uses_depth=True,
+    measure_soa=prm3d.measure_soa,
+    jac_landmark_soa=prm3d.jac_landmark_soa,
+    to_map_soa=prm3d.to_map_soa,
+    fuzzy_visible_soa=fuzzy_visible_soa,
 )

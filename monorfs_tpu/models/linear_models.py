@@ -89,6 +89,28 @@ def _make(dim, name):
     def volume(p):
         return (2.0 * p.range) ** dim
 
+    # SoA (K-last) hot-path variants (see gm/smallmat.py layout note)
+    def measure_soa(p, pose, m):
+        return [m[i] - pose[..., i : i + 1] for i in range(dim)]
+
+    def jac_landmark_soa(p, pose, m):
+        one, zero = jnp.ones_like(m[0]), jnp.zeros_like(m[0])
+        return [
+            [one if i == k else zero for k in range(3)] for i in range(dim)
+        ]
+
+    def to_map_soa(p, pose, z):
+        lm = [pose[..., i : i + 1] + z[i] for i in range(dim)]
+        lm = [jnp.broadcast_to(v, z[0].shape) for v in lm]
+        return lm + [jnp.zeros_like(lm[0])] * (3 - dim)
+
+    def fuzzy_visible_soa(p, z, ramp):
+        d = jnp.minimum((z[0] + p.range) / ramp[0], (p.range - z[0]) / ramp[0])
+        for i in range(1, dim):
+            d = jnp.minimum(d, (z[i] + p.range) / ramp[i])
+            d = jnp.minimum(d, (p.range - z[i]) / ramp[i])
+        return jnp.clip(d, 0.0, 1.0)
+
     return Model(
         name=name,
         pose=_pose_ops(dim),
@@ -103,6 +125,10 @@ def _make(dim, name):
         fuzzy_visible=fuzzy_visible,
         random_measure=random_measure,
         volume=volume,
+        measure_soa=measure_soa,
+        jac_landmark_soa=jac_landmark_soa,
+        to_map_soa=to_map_soa,
+        fuzzy_visible_soa=fuzzy_visible_soa,
     )
 
 

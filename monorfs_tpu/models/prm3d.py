@@ -13,6 +13,7 @@ import dataclasses
 import jax.numpy as jnp
 
 from ..geometry import pose3d, quaternion as quat
+from ..gm import smallmat
 from .base import Model, PoseOps
 
 
@@ -138,6 +139,83 @@ def fit_to_measurement(p: Params, pose0, z, landmark):
     return pose3d.make(loc, rot)
 
 
+# -- structure-of-arrays (K-last) variants ------------------------------------
+# Same math as above, but landmarks/measurements are 3-lists of [..., K]
+# arrays and matrices are smallmat lists: no [..., 3]/[..., 3, 3] trailing
+# dims anywhere, so XLA tiles everything as clean (8, 128) blocks. These are
+# the hot-path forms used by the PHD step; FD/parity-tested against the AoS
+# forms in tests/test_models.py.
+
+def _pose_lists(pose):
+    """(location 3-list, quaternion 4-list) of [..., 1] arrays (keepdims so
+    they broadcast against [..., K] operands)."""
+    loc = [pose[..., i : i + 1] for i in range(3)]
+    q = [pose[..., 3 + i : 4 + i] for i in range(4)]
+    return loc, q
+
+
+def _quat_mat(q):
+    """Rotation matrix R(q) as a smallmat 3x3 list (quat.to_matrix twin)."""
+    w, x, y, z = q
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    xw, yw, zw = x * w, y * w, z * w
+    return [
+        [1 - 2 * (yy + zz), 2 * (xy - zw), 2 * (xz + yw)],
+        [2 * (xy + zw), 1 - 2 * (xx + zz), 2 * (yz - xw)],
+        [2 * (xz - yw), 2 * (yz + xw), 1 - 2 * (xx + yy)],
+    ]
+
+
+def _local_soa(pose, m):
+    loc, q = _pose_lists(pose)
+    d = [mi - li for mi, li in zip(m, loc)]
+    r = _quat_mat(q)
+    local = smallmat.matvec(smallmat.transpose(r), d)  # R(q)^T d = R(q*) d
+    return local, d, r
+
+
+def measure_soa(p: Params, pose, m):
+    local, d, _ = _local_soa(pose, m)
+    lx, ly, lz = local
+    rng = jnp.sign(lz) * jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    return [p.focal * lx / lz, p.focal * ly / lz, rng]
+
+
+def jac_landmark_soa(p: Params, pose, m):
+    local, _, r = _local_soa(pose, m)
+    lx, ly, lz = local
+    sign = jnp.where(lz > 0, 1.0, -1.0)
+    mag = sign * jnp.sqrt(lx * lx + ly * ly + lz * lz)
+    f = p.focal
+    zero = jnp.zeros_like(lz)
+    jproj = [
+        [f / lz, zero, -f * lx / (lz * lz)],
+        [zero, f / lz, -f * ly / (lz * lz)],
+        [lx / mag, ly / mag, lz / mag],
+    ]
+    return smallmat.matmul(jproj, smallmat.transpose(r))
+
+
+def to_map_soa(p: Params, pose, z):
+    px, py, rng = z
+    alpha = rng / jnp.sqrt(p.focal * p.focal + px * px + py * py)
+    diff = [alpha * px, alpha * py, alpha * p.focal]
+    loc, q = _pose_lists(pose)
+    rotated = smallmat.matvec(_quat_mat(q), diff)
+    return [li + vi for li, vi in zip(loc, rotated)]
+
+
+def fuzzy_visible_soa(p: Params, z, ramp):
+    px, py, rng = z
+    d = jnp.minimum((px - p.film_left) / ramp[0], (p.film_right - px) / ramp[0])
+    d = jnp.minimum(d, (py - p.film_top) / ramp[1])
+    d = jnp.minimum(d, (p.film_bottom - py) / ramp[1])
+    d = jnp.minimum(d, (rng - p.range_min) / ramp[2])
+    d = jnp.minimum(d, (p.range_max - rng) / ramp[2])
+    return jnp.clip(d, 0.0, 1.0)
+
+
 def visible(p: Params, z):
     """Frustum visibility (PRM3DMeasurer.cs:264-269)."""
     px, py, rng = z[..., 0], z[..., 1], z[..., 2]
@@ -207,4 +285,8 @@ MODEL = Model(
     fuzzy_visible=fuzzy_visible,
     random_measure=random_measure,
     volume=volume,
+    measure_soa=measure_soa,
+    jac_landmark_soa=jac_landmark_soa,
+    to_map_soa=to_map_soa,
+    fuzzy_visible_soa=fuzzy_visible_soa,
 )

@@ -267,10 +267,8 @@ class Simulation:
         pose and the best particle's map."""
         best = int(self.nstate.best)
         maps = self.nstate.maps
-        best_map = mixture.GM(
-            jnp.broadcast_to(maps.mean[best], maps.mean.shape),
-            jnp.broadcast_to(maps.cov[best], maps.cov.shape),
-            jnp.broadcast_to(maps.logw[best], maps.logw.shape),
+        best_map = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[best], a.shape), maps
         )
         p = self.particles
         self.nstate = phd.PHDState(
@@ -369,9 +367,10 @@ class Simulation:
             maps = self.nstate.maps
             logw = np.asarray(maps.logw[best])
             alive = logw > mixture.ALIVE_THRESHOLD
+            mean_b = np.asarray(maps.mean[best])
+            cov_b = np.asarray(maps.cov[best])
             comps = [
-                (float(np.exp(logw[i])), np.asarray(maps.mean[best, i]),
-                 np.asarray(maps.cov[best, i]))
+                (float(np.exp(logw[i])), mean_b[i], cov_b[i])
                 for i in np.nonzero(alive)[0]
             ]
             self.way_maps.append((t, comps))

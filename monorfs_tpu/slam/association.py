@@ -67,7 +67,7 @@ def likelihood_matrix(mu, log_pd, logmult, r_inv, z, gate):
 
 
 def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
-                       max_candidates=8):
+                       max_candidates=8, pair_steps=False):
     """Truncated sum over data associations.
 
     ll: [N, M] gated landmark-measurement log-likelihoods (NEG when gated
@@ -85,6 +85,13 @@ def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
     the Mahalanobis gate guarantees in practice, and it keeps the in-scan
     top_k small (sequential-step latency dominates on TPU).
 
+    With `pair_steps` the scan consumes TWO measurements per step, halving
+    the sequential depth (the TPU cost is latency-bound, not compute-bound):
+    each step enumerates the (C+1)^2 joint choices with the injectivity
+    constraint applied within the pair. Identical result whenever the beam
+    does not truncate; under truncation it keeps the jointly best pairs
+    (at least as good a cover as two greedy single steps).
+
     Returns logsumexp over the top-`beam_width` assignments.
     """
     n, m = ll.shape
@@ -98,30 +105,95 @@ def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
     # per-measurement candidate pre-selection: [M, C] scores + indices
     cand_delta, cand_idx = jax.lax.top_k(delta.T, c)
 
+    # option vectors [M, C+1]: slot 0 = clutter (delta log_clutter), slot
+    # 1+j = candidate j. Inactive measurements contribute exactly 0 via a
+    # forced slot-0 pick with zero delta (no outer `where` needed).
+    opt_delta = jnp.concatenate(
+        [jnp.full((m, 1), log_clutter, dtype), cand_delta], axis=1
+    )
+    inactive_row = jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.full((c,), NEG, dtype)]
+    )
+    opt_delta = jnp.where(m_mask[:, None], opt_delta, inactive_row[None, :])
+
     scores0 = jnp.full((beam_width,), NEG, dtype).at[0].set(base)
     used0 = jnp.zeros((beam_width, n), bool)
+    iota_n = jnp.arange(n)
 
-    def step(carry, inputs):
-        scores, used = carry
-        delta_k, idx_k, active = inputs  # [C], [C], scalar
-        used_k = used[:, idx_k]  # [B, C]
-        land = scores[:, None] + jnp.where(used_k, NEG, delta_k[None, :])
-        cand = jnp.concatenate([scores[:, None] + log_clutter, land], axis=1)
-        top, flat = jax.lax.top_k(cand.reshape(-1), beam_width)
-        src = flat // (c + 1)
-        choice = flat % (c + 1)  # 0 = clutter, 1 + j = candidate j
-        new_used = used[src]
-        picked_lm = jnp.where(choice > 0, idx_k[choice - 1], n)  # n = none
-        new_used = new_used | (
-            jnp.arange(n)[None, :] == picked_lm[:, None]
+    def pick_mask(idx_k, choice):
+        """[B, N] one-hot of the landmark picked by `choice` (0 = none)."""
+        lm = jnp.where(choice > 0, idx_k[jnp.maximum(choice - 1, 0)], n)
+        return iota_n[None, :] == lm[:, None]
+
+    if not pair_steps:
+        def step(carry, inputs):
+            scores, used = carry
+            dk, idx_k = inputs  # [C+1], [C]
+            used_k = used[:, idx_k]  # [B, C]
+            land = scores[:, None] + jnp.where(used_k, NEG, dk[1:][None, :])
+            cand = jnp.concatenate([scores[:, None] + dk[0], land], axis=1)
+            top, flat = jax.lax.top_k(cand.reshape(-1), beam_width)
+            src = flat // (c + 1)
+            choice = flat % (c + 1)
+            used = used[src] | pick_mask(idx_k, choice)
+            return (top, used), None
+
+        (scores, _), _ = jax.lax.scan(
+            step, (scores0, used0), (opt_delta, cand_idx)
         )
-        scores = jnp.where(active, top, scores)
-        used = jnp.where(active, new_used, used)
-        return (scores, used), None
+    else:
+        m2 = (m + 1) // 2 * 2
+        pad = m2 - m
+        opt_delta = jnp.concatenate(
+            [opt_delta, jnp.tile(inactive_row[None, :], (pad, 1))]
+        ).reshape(m2 // 2, 2, c + 1)
+        cand_idx = jnp.concatenate(
+            [cand_idx, jnp.zeros((pad, c), cand_idx.dtype)]
+        ).reshape(m2 // 2, 2, c)
 
-    (scores, _), _ = jax.lax.scan(
-        step, (scores0, used0), (cand_delta, cand_idx, m_mask)
-    )
+        def step(carry, inputs):
+            scores, used = carry
+            dk, idx_k = inputs  # [2, C+1], [2, C]
+            used_a = used[:, idx_k[0]]  # [B, C]
+            used_b = used[:, idx_k[1]]
+            da = jnp.concatenate(
+                [
+                    jnp.broadcast_to(dk[0, 0], (used.shape[0], 1)),
+                    jnp.where(used_a, NEG, dk[0, 1:][None, :]),
+                ],
+                axis=1,
+            )  # [B, C+1]
+            db = jnp.concatenate(
+                [
+                    jnp.broadcast_to(dk[1, 0], (used.shape[0], 1)),
+                    jnp.where(used_b, NEG, dk[1, 1:][None, :]),
+                ],
+                axis=1,
+            )
+            # within-pair injectivity: forbid (a=j, b=l) with same landmark
+            same = idx_k[0][:, None] == idx_k[1][None, :]  # [C, C]
+            dup = jnp.pad(same, ((1, 0), (1, 0)))  # [C+1, C+1], clutter free
+            cand = (
+                scores[:, None, None]
+                + da[:, :, None]
+                + jnp.where(dup[None, :, :], NEG, db[:, None, :])
+            )  # [B, C+1, C+1]
+            top, flat = jax.lax.top_k(cand.reshape(-1), beam_width)
+            cc = c + 1
+            src = flat // (cc * cc)
+            rest = flat % (cc * cc)
+            ca = rest // cc
+            cb = rest % cc
+            used = (
+                used[src]
+                | pick_mask(idx_k[0], ca)
+                | pick_mask(idx_k[1], cb)
+            )
+            return (top, used), None
+
+        (scores, _), _ = jax.lax.scan(
+            step, (scores0, used0), (opt_delta, cand_idx)
+        )
     return jax.scipy.special.logsumexp(jnp.where(scores > NEG / 2, scores, -jnp.inf))
 
 

@@ -3,9 +3,9 @@
 TPU-native re-design of the reference's core SLAM solver
 (reference: mono-rfs-lib/SLAM/Navigators/PHDNavigator.cs:48-983). The whole
 filter state is fixed-shape tensor data -- particles [P, S], log-weights [P],
-per-particle Gaussian-mixture maps [P, K, ...] with dead-slot masking -- and
-one jitted `slam_step` implements predict / correct / prune / weight /
-resample. Semantic deltas preserved from the reference:
+per-particle Gaussian-mixture maps with dead-slot masking -- and one jitted
+`slam_step` implements predict / correct / prune / weight / resample.
+Semantic deltas preserved from the reference:
 
   * birth components at unexplored measurement back-projections, checked
     against the pre-birth map (PredictConditional, :793-819);
@@ -18,10 +18,24 @@ resample. Semantic deltas preserved from the reference:
     (WeightAlpha, :373-393);
   * ESS-triggered systematic resampling (:724-777).
 
-KD-tree `Near` queries become dense masked top-G selections; the Murty /
+Layout: the per-frame hot path runs entirely on structure-of-arrays state
+(mixture.SGM -- K-last [P, K] leaves, unrolled small-matrix algebra from
+gm/smallmat.py). The AoS [P, K, 3, 3] layout XLA-pads each (3, 3) tile to
+(8, 128), a ~100x HBM blowup that dominated the first implementation
+(BENCH.md); the SoA step also replaces the earlier per-measurement top-G
+gating truncation with a dense scalar likelihood over every gated
+(measurement, component) pair followed by a single global top-K cut --
+closer to the reference's exact Near-query semantics AND faster, because
+the expensive matrix updates run only on the K surviving components.
+
+KD-tree `Near` queries become dense masked distance tests; the Murty /
 lexicographic association enumeration becomes the beam search in
 `association.py`. Parallel.For over particles becomes vmap (shardable over a
 `particles` mesh axis).
+
+The AoS helpers `_births` / `_correct` are kept as the executable
+specification (oracle tests in tests/test_phd.py exercise them directly;
+a parity test checks the SoA step against them).
 """
 
 import dataclasses
@@ -30,8 +44,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..gm import gaussian, mixture
-from ..gm.mixture import DEAD, GM
+from ..gm import gaussian, mixture, smallmat
+from ..gm.mixture import ALIVE_THRESHOLD, DEAD, GM, SGM
 from . import association
 
 
@@ -42,10 +56,11 @@ class PHDConfig:
     num_particles: int = 200
     max_components: int = 600  # MaxQuantity (Config.cs:83)
     max_measurements: int = 32
-    gate_top: int = 16  # dense stand-in for KD-tree Near per measurement
+    gate_top: int = 16  # AoS spec path only (dense SoA path needs no cap)
     estimate_cap: int = 128  # cap on the MAP map estimate size
     beam_width: int = 200  # association hypotheses (PHDNavigator.cs:469)
     beam_meas_cap: int = 0  # beam scan length; 0 = max_measurements.
+    beam_candidates: int = 8  # gated landmarks enumerated per measurement
     merge_rounds: int = 8  # prune-merge leader fixed-point iterations
     # Valid measurements are compacted to the front before the weight-update
     # beam, so a cap below max_measurements only drops measurements in
@@ -77,7 +92,7 @@ class PHDParams(NamedTuple):
 class PHDState(NamedTuple):
     pose: jax.Array  # [P, S]
     logweight: jax.Array  # [P]
-    maps: GM  # mean [P, K, 3], cov [P, K, 3, 3], logw [P, K]
+    maps: SGM  # SoA mixture, leaves [P, K]
     best: jax.Array  # scalar int32
 
 
@@ -87,7 +102,7 @@ def init_state(model, cfg: PHDConfig, init_pose, dtype=jnp.float32):
     return PHDState(
         pose=pose,
         logweight=jnp.full((p,), -jnp.log(float(p)), dtype),
-        maps=mixture.empty(cfg.max_components, 3, dtype, batch=(p,)),
+        maps=mixture.empty_soa(cfg.max_components, dtype, batch=(p,)),
         best=jnp.int32(0),
     )
 
@@ -115,6 +130,358 @@ def predict_poses(model, params: PHDParams, state: PHDState, odometry, key,
     noise = params.dt * _sample_mvn(key, params.motion_cov, (p,), state.pose.dtype)
     return state._replace(pose=model.pose.add_odometry(moved, noise))
 
+
+# =============================================================================
+# SoA fast path (the jitted per-frame step)
+# =============================================================================
+
+def _births_soa(model, to_map_s, params, pose, maps: SGM, zl, z_mask):
+    """Birth components at unexplored back-projections
+    (PredictConditional, PHDNavigator.cs:793-819 + Explored :956-959).
+
+    zl: D-list of [M] measurement component arrays."""
+    cand = to_map_s(model.params, pose, zl)  # 3-list of [M]
+    density = mixture.evaluate_many_soa(
+        maps, cand, radius=3.0 * params.density_radius
+    )
+    unexplored = z_mask & (density < params.exploration_threshold)
+    logw = jnp.where(unexplored, jnp.log(params.birth_weight), DEAD)
+    logw = logw.astype(maps.logw.dtype)
+    bc = smallmat.from_tensor(params.birth_cov)
+    return mixture.sgm_make(cand, bc, logw)
+
+
+def _correct_prune_soa(model, cfg, params, fns, pose, pred: SGM, zl, z_mask):
+    """Fused measurement update + prune + merge on SoA state
+    (CorrectConditional + PruneModel, PHDNavigator.cs:829-948).
+
+    1. per-component EKF precompute (h, S, gain, (I-KH)P) -- unrolled;
+    2. dense scalar association scores over all gated (z, component) pairs
+       with the exact per-measurement normalizer (clutter + sum of gated
+       weights, :884-899);
+    3. one global top-K_out cut over {misdetections} u {pair updates}
+       (= the reference's weight-sorted MaxQuantity cut, :921-929);
+    4. EKF mean/cov update materialized for survivors only;
+    5. greedy weight-ordered Mahalanobis merge (:930-948).
+    """
+    measure_s, jac_s, to_map_s, fuzzy_s = fns
+    kp = pred.capacity
+    d = model.meas_dim
+    k_out = cfg.max_components
+    m = zl[0].shape[0]
+    dtype = pred.logw.dtype
+    alive = pred.logw > ALIVE_THRESHOLD
+
+    mean = pred.mean_list()  # 3-list [K']
+    cov = pred.cov_mat()  # 3x3 smallmat of [K']
+
+    # --- per-component EKF precompute (PHDNavigator.cs:857-870) -------------
+    h = measure_s(model.params, pose, mean)  # D-list [K']
+    pd_k = jnp.where(
+        alive, fuzzy_s(model.params, h, params.visibility_ramp) * params.pd, 0.0
+    )
+    pd_k = jnp.clip(pd_k, 0.0, 1.0 - 1e-7)
+    miss_logw = jnp.where(alive, pred.logw + jnp.log1p(-pd_k), DEAD)
+
+    hj = jac_s(model.params, pose, mean)  # D x 3 of [K']
+    hj = [[jnp.broadcast_to(e, (kp,)).astype(dtype) for e in row] for row in hj]
+    pht = smallmat.matmul(cov, smallmat.transpose(hj))  # 3 x D
+    r = smallmat.from_tensor(params.meas_cov)
+    s = smallmat.add(smallmat.matmul(hj, pht), r)  # D x D
+    det_s = smallmat.det(s)
+    s_inv = smallmat.inv(s, det_s)
+    s_logmult = smallmat.log_multiplier(s, det_s)
+    gain = smallmat.matmul(pht, s_inv)  # 3 x D
+    ikh = smallmat.sub(
+        smallmat.identity_like(3, pred.logw), smallmat.matmul(gain, hj)
+    )
+    cov_upd = smallmat.mat_to_sym(
+        smallmat.symmetrize(smallmat.matmul(ikh, cov))
+    )  # 6-tuple [K']
+    cov_orig = smallmat.mat_to_sym(cov)
+
+    # --- dense pair scores [M, K'] (:881-903) --------------------------------
+    backproj = to_map_s(model.params, pose, zl)  # 3-list [M]
+    dist2 = sum(
+        (b[:, None] - mi[None, :]) ** 2 for b, mi in zip(backproj, mean)
+    )
+    r2 = params.density_radius * params.density_radius
+    in_gate = (dist2 <= r2) & alive[None, :] & z_mask[:, None]
+
+    innov = [zi[:, None] - hi[None, :] for zi, hi in zip(zl, h)]  # [M, K']
+    s_inv_b = [[e[None, :] for e in row] for row in s_inv]
+    q_log = s_logmult[None, :] - 0.5 * smallmat.quadform(innov, s_inv_b)
+    # degenerate components (e.g. landmark crossing the camera plane) can
+    # produce non-finite scores; treat them as gated out
+    q_log = jnp.where(jnp.isfinite(q_log), q_log, DEAD)
+    log_pd_k = jnp.log(jnp.maximum(pd_k, 1e-30))
+    log_num = jnp.where(
+        in_gate, log_pd_k[None, :] + pred.logw[None, :] + q_log, DEAD
+    )  # [M, K']
+    wsum = jnp.sum(jnp.where(in_gate, jnp.exp(log_num), 0.0), axis=1)  # [M]
+    upd_logw = log_num - jnp.log(params.clutter_density + wsum)[:, None]
+    upd_logw = jnp.where(in_gate, upd_logw, DEAD)
+
+    # --- global weight-sorted cut (PruneModel :921-929) ----------------------
+    all_logw = jnp.concatenate([miss_logw, upd_logw.reshape(m * kp)])
+    top_logw, top_idx = jax.lax.top_k(all_logw, k_out)
+    is_miss = top_idx < kp
+    comp = jnp.where(is_miss, top_idx, (top_idx - kp) % kp)
+    midx = jnp.where(is_miss, 0, (top_idx - kp) // kp)
+
+    # --- survivor channel gather ---------------------------------------------
+    # One one-hot matmul instead of ~24 lane-axis gathers (take_along_axis
+    # along the minor dim is ~5x slower on TPU). Channels are sanitized to 0
+    # where non-finite or dead -- 0 * inf = NaN would otherwise poison every
+    # survivor through the matmul.
+    chans = (
+        list(h)
+        + [e for row in gain for e in row]
+        + list(mean)
+        + list(cov_orig)
+        + list(cov_upd)
+    )
+    nd = len(h)
+    feat = jnp.stack(
+        [jnp.broadcast_to(c, (kp,)) for c in chans], axis=-1
+    )  # [K', C]
+    feat = jnp.where(jnp.isfinite(feat) & alive[:, None], feat, 0.0)
+    onehot = (
+        comp[:, None] == jnp.arange(kp, dtype=jnp.int32)[None, :]
+    ).astype(dtype)  # [K_out, K']
+    gathered = onehot @ feat  # [K_out, C]
+    cols = [gathered[..., i] for i in range(feat.shape[-1])]
+    h_s = cols[:nd]
+    gain_s = [
+        [cols[nd + i_ * nd + j_] for j_ in range(nd)] for i_ in range(3)
+    ]
+    base = nd + 3 * nd
+    mean_g = cols[base : base + 3]
+    cov_g = tuple(cols[base + 3 : base + 9])
+    covu_g = tuple(cols[base + 9 : base + 15])
+
+    # measurement gather for survivors (same one-hot trick over M slots)
+    onehot_m = (
+        midx[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+    ).astype(dtype)  # [K_out, M]
+    zfeat = jnp.stack(zl, axis=-1)  # [M, D]
+    z_s = onehot_m @ zfeat  # [K_out, D]
+
+    # --- survivor mean/cov update (:893-898) ---------------------------------
+    innov_s = [z_s[..., i] - h_s[i] for i in range(nd)]
+    delta = smallmat.matvec(gain_s, innov_s)  # 3-list [K_out]
+    mean_s = [
+        mg + jnp.where(is_miss, 0.0, di) for mg, di in zip(mean_g, delta)
+    ]
+    cov_s = tuple(
+        jnp.where(is_miss, co, cu) for co, cu in zip(cov_g, covu_g)
+    )
+
+    live = (top_logw > ALIVE_THRESHOLD) & (
+        top_logw >= jnp.log(params.min_weight)
+    )
+
+    # --- greedy weight-ordered merge (:930-948) ------------------------------
+    # Survivors arrive weight-sorted (top_k). Merge later components into the
+    # heaviest earlier component within merge_threshold Mahalanobis distance,
+    # measured in the leader's metric; fixed-round synchronous fixed point of
+    # the sequential greedy (converges within the longest close-chain depth).
+    covm = smallmat.sym_to_mat(cov_s)
+    det_c = smallmat.det(covm)
+    inv_c = smallmat.inv(covm, det_c)  # leader metric, entries [K_out]
+    diff = [mi[None, :] - mi[:, None] for mi in mean_s]  # [i leader, k cand]
+    inv_b = [[e[:, None] for e in row] for row in inv_c]
+    m2 = smallmat.quadform(diff, inv_b)  # [K_out, K_out]
+    close = m2 < params.merge_threshold * params.merge_threshold
+
+    idx = jnp.arange(k_out)
+    lower = (idx[:, None] < idx[None, :]) & close & live[None, :] & live[:, None]
+
+    def round_(t, is_leader):
+        conflict = jnp.any(lower & is_leader[:, None], axis=0)
+        return live & ~conflict
+
+    is_leader = jax.lax.fori_loop(0, cfg.merge_rounds, round_, live)
+    eligible = lower & is_leader[:, None]
+    has = jnp.any(eligible, axis=0)
+    leader = jnp.where(has, jnp.argmax(eligible, axis=0), idx)
+
+    assign = (leader[None, :] == idx[:, None]) & live[None, :]
+    w = jnp.where(live, jnp.exp(top_logw), 0.0)
+    cw = (assign * w[None, :]).astype(dtype)  # [K_out leader, K_out member]
+    wsum_l = jnp.sum(cw, axis=1)
+    safe = jnp.maximum(wsum_l, 1e-30)
+
+    sec = (
+        cov_s[0] + mean_s[0] * mean_s[0],
+        cov_s[1] + mean_s[0] * mean_s[1],
+        cov_s[2] + mean_s[0] * mean_s[2],
+        cov_s[3] + mean_s[1] * mean_s[1],
+        cov_s[4] + mean_s[1] * mean_s[2],
+        cov_s[5] + mean_s[2] * mean_s[2],
+    )
+    # one matmul pools all 9 moment channels (means + second moments)
+    moments = jnp.stack(list(mean_s) + list(sec), axis=-1)  # [K_out, 9]
+    pooled = (cw @ moments) / safe[:, None]
+    mean_m = [pooled[..., i] for i in range(3)]
+    sec_m = [pooled[..., 3 + i] for i in range(6)]
+    mm = (
+        mean_m[0] * mean_m[0], mean_m[0] * mean_m[1], mean_m[0] * mean_m[2],
+        mean_m[1] * mean_m[1], mean_m[1] * mean_m[2], mean_m[2] * mean_m[2],
+    )
+    cov_m = tuple(s - p for s, p in zip(sec_m, mm))
+
+    out_alive = is_leader & (wsum_l > 0)
+    out_logw = jnp.where(out_alive, jnp.log(safe), DEAD)
+    zero = jnp.zeros_like(out_logw)
+    one = jnp.ones_like(out_logw)
+    mean_o = [jnp.where(out_alive, mi, zero) for mi in mean_m]
+    eye6 = (one, zero, zero, one, zero, one)
+    cov_o = tuple(
+        jnp.where(out_alive, ci, ei) for ci, ei in zip(cov_m, eye6)
+    )
+    return SGM(*mean_o, *cov_o, out_logw)
+
+
+def _weight_alpha_soa(model, cfg, params, fns, pose, predicted: SGM,
+                      corrected: SGM, zl, z_mask):
+    """Particle log-weight increment (WeightAlpha, PHDNavigator.cs:373-393):
+    log alpha = setLL + (plog - n_pred) - (clog - n_corr) evaluated on the
+    MAP map estimate of the corrected mixture."""
+    measure_s, _, _, fuzzy_s = fns
+    jidx, jvalid = mixture.best_map_indices(corrected.logw, cfg.estimate_cap)
+    jmeans = [mi[jidx] for mi in corrected.mean_list()]  # 3-list [E]
+
+    def mixture_loglike(gm):
+        vals = mixture.evaluate_many_soa(gm, jmeans)
+        return jnp.sum(
+            jnp.where(jvalid, jnp.log(jnp.maximum(vals, 1e-300)), 0.0)
+        )
+
+    plog = mixture_loglike(predicted)
+    clog = mixture_loglike(corrected)
+    n_pred = mixture.expected_size(predicted)
+    n_corr = mixture.expected_size(corrected)
+
+    # compact valid measurements to the front and cap the beam length
+    m_cap = cfg.beam_meas_cap or zl[0].shape[0]
+    order = jnp.argsort(~z_mask)[:m_cap]
+    zc = [zi[order] for zi in zl]
+    zc_mask = z_mask[order]
+
+    # gated association log-likelihood matrix [E, m_cap]
+    # (SetLogLikeMatrix, PHDNavigator.cs:415-453)
+    mu = measure_s(model.params, pose, jmeans)  # D-list [E]
+    pdv = fuzzy_s(model.params, mu, params.visibility_ramp) * params.pd
+    pdv = jnp.clip(pdv, 1e-30, 1.0 - 1e-7)
+    log_pd = jnp.log(pdv)
+    log_miss = jnp.log1p(-pdv)
+    r = smallmat.from_tensor(params.meas_cov)
+    det_r = smallmat.det(r)
+    r_inv = smallmat.inv(r, det_r)
+    logmult = smallmat.log_multiplier(r, det_r)
+    diffz = [zi[None, :] - mi[:, None] for zi, mi in zip(zc, mu)]  # [E, M]
+    d2 = smallmat.quadform(diffz, r_inv)
+    ll = log_pd[:, None] + logmult - 0.5 * d2
+    ll = jnp.where(d2 < 25.0, ll, association.NEG)  # Mahalanobis gate 5
+    ll = jnp.where(zc_mask[None, :], ll, association.NEG)
+
+    setll = association.set_log_likelihood(
+        ll, log_miss, jnp.log(params.clutter_density), jvalid, zc_mask,
+        cfg.beam_width, max_candidates=cfg.beam_candidates,
+    )
+    return setll + (plog - n_pred) - (clog - n_corr)
+
+
+def resample(state: PHDState, key):
+    """Systematic (wheel) resampling (ResampleParticles,
+    PHDNavigator.cs:724-760)."""
+    p = state.logweight.shape[0]
+    w = jnp.exp(state.logweight - jax.scipy.special.logsumexp(state.logweight))
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, (), state.logweight.dtype) / p
+    positions = u0 + jnp.arange(p, dtype=state.logweight.dtype) / p
+    src = jnp.searchsorted(cum, positions, side="left")
+    src = jnp.clip(src, 0, p - 1).astype(jnp.int32)
+    # BestParticle = the last drawn slot whose source holds the max weight
+    # among selected sources (PHDNavigator.cs:745-748)
+    sel_w = w[src]
+    best = (p - 1 - jnp.argmax(sel_w[::-1])).astype(jnp.int32)
+    return PHDState(
+        pose=state.pose[src],
+        logweight=jnp.full((p,), -jnp.log(float(p)), state.logweight.dtype),
+        maps=jax.tree.map(lambda a: a[src], state.maps),
+        best=best,
+    )
+
+
+def make_slam_step(model, cfg: PHDConfig, slam: bool = True):
+    """Build the jittable full SLAM step:
+    (params, state, odometry, z, z_mask, key[, true_pose]) -> state.
+
+    With slam=False the filter runs mapping-only: poses snap to `true_pose`
+    and particle weights stay fixed (PHDNavigator.cs:192-208, :297-300,
+    :334-336)."""
+    measure_s = model.measure_soa_fn()
+    jac_s = model.jac_landmark_soa_fn()
+    to_map_s = model.to_map_soa_fn()
+    d = model.meas_dim
+
+    def per_particle(params, pose, maps, zl, z_mask):
+        fuzzy_s = model.fuzzy_visible_soa_fn(params.depth_map)
+        fns = (measure_s, jac_s, to_map_s, fuzzy_s)
+        births = _births_soa(model, to_map_s, params, pose, maps, zl, z_mask)
+        predicted = mixture.concat_soa(maps, births)
+        corrected = _correct_prune_soa(
+            model, cfg, params, fns, pose, predicted, zl, z_mask
+        )
+        if slam:
+            dlog = _weight_alpha_soa(
+                model, cfg, params, fns, pose, predicted, corrected, zl,
+                z_mask,
+            )
+        else:
+            dlog = jnp.zeros((), pose.dtype)
+        return corrected, dlog
+
+    def step(params, state, odometry, z, z_mask, key, true_pose=None):
+        kmotion, kresample = jax.random.split(key)
+        state = predict_poses(
+            model, params, state, odometry, kmotion, slam, true_pose
+        )
+        zl = [z[:, i] for i in range(d)]
+        corrected, dlog = jax.vmap(
+            lambda pose, maps: per_particle(params, pose, maps, zl, z_mask)
+        )(state.pose, state.maps)
+
+        logweight = state.logweight + dlog
+        if slam:
+            norm = jax.scipy.special.logsumexp(logweight)
+            logweight = jnp.where(
+                jnp.isfinite(norm), logweight - norm, state.logweight
+            )
+            best = jnp.argmax(logweight).astype(jnp.int32)
+            state = PHDState(state.pose, logweight, corrected, best)
+            # ESS check (ParticleDepleted, :768-777)
+            w = jnp.exp(logweight)
+            ess = 1.0 / jnp.maximum(jnp.sum(w * w), 1e-30)
+            p = logweight.shape[0]
+            state = jax.lax.cond(
+                ess < params.min_effective_particle * p,
+                lambda s: resample(s, kresample),
+                lambda s: s,
+                state,
+            )
+        else:
+            state = PHDState(state.pose, logweight, corrected, jnp.int32(0))
+        return state
+
+    return step
+
+
+# =============================================================================
+# AoS specification path (oracle tests; not used by the jitted step)
+# =============================================================================
 
 def _births(model, params, pose, maps: GM, z, z_mask):
     """Birth components at unexplored back-projections
@@ -208,122 +575,3 @@ def _correct(model, cfg, params, pose, predicted: GM, z, z_mask):
         jnp.where(gvalid, upd_logw, DEAD).reshape(mg),
     )
     return mixture.concat(miss, updates)
-
-
-def _weight_alpha(model, cfg, params, pose, predicted: GM, corrected: GM,
-                  z, z_mask):
-    """Particle log-weight increment (WeightAlpha, PHDNavigator.cs:373-393):
-    log alpha = setLL + (plog - n_pred) - (clog - n_corr) evaluated on the
-    MAP map estimate of the corrected mixture."""
-    jidx, jvalid = mixture.best_map_indices(corrected.logw, cfg.estimate_cap)
-    jmeans = corrected.mean[jidx]  # [E, 3]
-
-    def mixture_loglike(gm):
-        vals = mixture.evaluate_many(gm, jmeans)
-        return jnp.sum(jnp.where(jvalid, jnp.log(jnp.maximum(vals, 1e-300)), 0.0))
-
-    plog = mixture_loglike(predicted)
-    clog = mixture_loglike(corrected)
-    n_pred = mixture.expected_size(predicted)
-    n_corr = mixture.expected_size(corrected)
-
-    # compact valid measurements to the front and cap the beam length
-    m_cap = cfg.beam_meas_cap or z.shape[0]
-    order = jnp.argsort(~z_mask)[:m_cap]
-    zc = z[order]
-    zc_mask = z_mask[order]
-
-    mu, log_pd, log_miss, r_inv, logmult = association.association_matrices(
-        model, pose, jmeans, jvalid, params.meas_cov, params.pd,
-        params.visibility_ramp, 5.0, True, depth_map=params.depth_map,
-    )
-    ll = association.likelihood_matrix(mu, log_pd, logmult, r_inv, zc, 5.0)
-    ll = jnp.where(zc_mask[None, :], ll, association.NEG)
-    setll = association.set_log_likelihood(
-        ll, log_miss, jnp.log(params.clutter_density), jvalid, zc_mask,
-        cfg.beam_width,
-    )
-    return setll + (plog - n_pred) - (clog - n_corr)
-
-
-def resample(state: PHDState, key):
-    """Systematic (wheel) resampling (ResampleParticles,
-    PHDNavigator.cs:724-760)."""
-    p = state.logweight.shape[0]
-    w = jnp.exp(state.logweight - jax.scipy.special.logsumexp(state.logweight))
-    cum = jnp.cumsum(w)
-    u0 = jax.random.uniform(key, (), state.logweight.dtype) / p
-    positions = u0 + jnp.arange(p, dtype=state.logweight.dtype) / p
-    src = jnp.searchsorted(cum, positions, side="left")
-    src = jnp.clip(src, 0, p - 1).astype(jnp.int32)
-    # BestParticle = the last drawn slot whose source holds the max weight
-    # among selected sources (PHDNavigator.cs:745-748)
-    sel_w = w[src]
-    best = (p - 1 - jnp.argmax(sel_w[::-1])).astype(jnp.int32)
-    return PHDState(
-        pose=state.pose[src],
-        logweight=jnp.full((p,), -jnp.log(float(p)), state.logweight.dtype),
-        maps=GM(state.maps.mean[src], state.maps.cov[src], state.maps.logw[src]),
-        best=best,
-    )
-
-
-def make_slam_step(model, cfg: PHDConfig, slam: bool = True):
-    """Build the jittable full SLAM step:
-    (params, state, odometry, z, z_mask, key[, true_pose]) -> state.
-
-    With slam=False the filter runs mapping-only: poses snap to `true_pose`
-    and particle weights stay fixed (PHDNavigator.cs:192-208, :297-300,
-    :334-336)."""
-
-    def per_particle(params, pose, maps, z, z_mask):
-        births = _births(model, params, pose, maps, z, z_mask)
-        predicted = mixture.concat(maps, births)
-        candidates = _correct(model, cfg, params, pose, predicted, z, z_mask)
-        corrected = mixture.prune_merge(
-            candidates,
-            cfg.max_components,
-            params.min_weight,
-            params.merge_threshold,
-            rounds=cfg.merge_rounds,
-        )
-        if slam:
-            dlog = _weight_alpha(
-                model, cfg, params, pose, predicted, corrected, z, z_mask
-            )
-        else:
-            dlog = jnp.zeros((), pose.dtype)
-        return corrected, dlog
-
-    def step(params, state, odometry, z, z_mask, key, true_pose=None):
-        kmotion, kresample = jax.random.split(key)
-        state = predict_poses(
-            model, params, state, odometry, kmotion, slam, true_pose
-        )
-        corrected, dlog = jax.vmap(
-            lambda pose, maps: per_particle(params, pose, maps, z, z_mask)
-        )(state.pose, state.maps)
-
-        logweight = state.logweight + dlog
-        if slam:
-            norm = jax.scipy.special.logsumexp(logweight)
-            logweight = jnp.where(
-                jnp.isfinite(norm), logweight - norm, state.logweight
-            )
-            best = jnp.argmax(logweight).astype(jnp.int32)
-            state = PHDState(state.pose, logweight, corrected, best)
-            # ESS check (ParticleDepleted, :768-777)
-            w = jnp.exp(logweight)
-            ess = 1.0 / jnp.maximum(jnp.sum(w * w), 1e-30)
-            p = logweight.shape[0]
-            state = jax.lax.cond(
-                ess < params.min_effective_particle * p,
-                lambda s: resample(s, kresample),
-                lambda s: s,
-                state,
-            )
-        else:
-            state = PHDState(state.pose, logweight, corrected, jnp.int32(0))
-        return state
-
-    return step

@@ -121,3 +121,70 @@ def test_registry():
     assert models.get("PRM3D").name == "PRM3D"
     assert models.get("Linear2D").meas_dim == 2
     assert models.get("Linear1D").meas_dim == 1
+
+
+def _soa_parity_case(m):
+    pose = random_pose()
+    lms = jnp.stack([visible_landmark(m, pose)[0] for _ in range(6)])
+    ml = [lms[:, i] for i in range(3)]
+    return pose, lms, ml
+
+
+def test_soa_measure_jac_tomap_parity():
+    """SoA (K-last) model functions match the AoS reference forms."""
+    for m in (models.PRM3D, models.get("Linear2D"), models.get("Linear1D"),
+              models.get("Kinect")):
+        pose = random_pose()[: m.pose.state_dim]
+        if m.pose.state_dim != 7:
+            pose = jnp.asarray(RNG.normal(size=m.pose.state_dim))
+            lms = jnp.asarray(RNG.normal(size=(6, 3)))
+        else:
+            lms = jnp.stack([visible_landmark(m, pose)[0] for _ in range(6)])
+        ml = [lms[:, i] for i in range(3)]
+
+        z_aos = np.asarray(m.measure(m.params, pose[None, :], lms))
+        z_soa = np.stack(
+            [np.asarray(v) for v in m.measure_soa_fn()(m.params, pose, ml)],
+            axis=-1,
+        )
+        np.testing.assert_allclose(z_soa, z_aos, rtol=1e-10, atol=1e-12)
+
+        j_aos = np.broadcast_to(
+            np.asarray(m.jac_landmark(m.params, pose[None, :], lms)),
+            (6, m.meas_dim, 3),
+        )
+        j_soa_l = m.jac_landmark_soa_fn()(m.params, pose, ml)
+        j_soa = np.stack(
+            [
+                np.stack(
+                    [np.broadcast_to(np.asarray(e), (6,)) for e in row], -1
+                )
+                for row in j_soa_l
+            ],
+            axis=-2,
+        )
+        np.testing.assert_allclose(j_soa, j_aos, rtol=1e-10, atol=1e-12)
+
+        zs = [jnp.asarray(z_aos[:, i]) for i in range(m.meas_dim)]
+        lm_aos = np.asarray(
+            m.to_map(m.params, pose[None, :], jnp.asarray(z_aos))
+        )
+        lm_soa = np.stack(
+            [np.asarray(v) for v in m.to_map_soa_fn()(m.params, pose, zs)],
+            axis=-1,
+        )
+        np.testing.assert_allclose(lm_soa, lm_aos, rtol=1e-9, atol=1e-10)
+
+        ramp = jnp.asarray([10.0, 10.0, 0.2][: m.meas_dim])
+        if m.uses_depth:
+            depth = jnp.full((12, 16), 1e3)
+            f_aos = np.asarray(
+                m.fuzzy_visible(m.params, jnp.asarray(z_aos), ramp, depth)
+            )
+            f_soa = np.asarray(
+                m.fuzzy_visible_soa_fn(depth)(m.params, zs, ramp)
+            )
+        else:
+            f_aos = np.asarray(m.fuzzy_visible(m.params, jnp.asarray(z_aos), ramp))
+            f_soa = np.asarray(m.fuzzy_visible_soa_fn(None)(m.params, zs, ramp))
+        np.testing.assert_allclose(f_soa, f_aos, rtol=1e-12, atol=1e-12)

@@ -275,3 +275,53 @@ def test_slam_step_runs_and_normalizes():
         np.exp(np.asarray(state.logweight)).sum(), 1.0, rtol=1e-6
     )
     assert 0 <= int(state.best) < 8
+
+
+def test_soa_correct_prune_matches_aos_spec():
+    """The fused SoA correct+prune equals the AoS spec pipeline
+    (_births + _correct + prune_merge) whenever the AoS top-G gate does not
+    truncate (gate_top = full capacity)."""
+    params = make_params()
+    cap = 8
+    cfg = make_cfg(max_components=cap, gate_top=cap + 4)
+    gm = gm_of(
+        [[3, 5, 0], [-1, 1, 0], [2.5, 4.5, 0]],
+        [np.eye(3) * 0.04, np.eye(3) * 0.09, np.eye(3) * 0.04],
+        [0.9, 0.7, 0.4],
+        cap=cap,
+    )
+    z, zmask = pad_meas([[2.0, 3.0], [1.4, 2.4]])
+
+    # AoS spec pipeline
+    births = phd._births(MODEL, params, POSE, gm, z, zmask)
+    predicted = mixture.concat(gm, births)
+    cand = phd._correct(MODEL, cfg, params, POSE, predicted, z, zmask)
+    ref = mixture.prune_merge(
+        cand, cfg.max_components, params.min_weight, params.merge_threshold,
+        rounds=cfg.merge_rounds,
+    )
+
+    # SoA fused path
+    to_map_s = MODEL.to_map_soa_fn()
+    fns = (
+        MODEL.measure_soa_fn(),
+        MODEL.jac_landmark_soa_fn(),
+        to_map_s,
+        MODEL.fuzzy_visible_soa_fn(params.depth_map),
+    )
+    zl = [z[:, i] for i in range(MODEL.meas_dim)]
+    sgm = mixture.soa_of(gm)
+    births_s = phd._births_soa(MODEL, to_map_s, params, POSE, sgm, zl, zmask)
+    predicted_s = mixture.concat_soa(sgm, births_s)
+    out = phd._correct_prune_soa(
+        MODEL, cfg, params, fns, POSE, predicted_s, zl, zmask
+    )
+
+    m_ref, c_ref, w_ref = live_components(ref)
+    m_out, c_out, w_out = live_components(mixture.aos_of(out))
+    assert len(w_ref) == len(w_out)
+    o_ref = np.argsort(-w_ref)
+    o_out = np.argsort(-w_out)
+    np.testing.assert_allclose(w_out[o_out], w_ref[o_ref], rtol=1e-8)
+    np.testing.assert_allclose(m_out[o_out], m_ref[o_ref], atol=1e-8)
+    np.testing.assert_allclose(c_out[o_out], c_ref[o_ref], atol=1e-8)
