@@ -41,7 +41,7 @@ def main():
         max_components=128,
         max_measurements=48,
         gate_top=8,
-        estimate_cap=64,
+        estimate_cap=48,
         beam_width=32,
         beam_meas_cap=24,
         beam_candidates=6,

@@ -67,7 +67,7 @@ def likelihood_matrix(mu, log_pd, logmult, r_inv, z, gate):
 
 
 def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
-                       max_candidates=8, pair_steps=False):
+                       max_candidates=8):
     """Truncated sum over data associations.
 
     ll: [N, M] gated landmark-measurement log-likelihoods (NEG when gated
@@ -83,14 +83,13 @@ def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
     enumerated (selected once outside the sequential beam scan) -- exact
     whenever a measurement gates against at most that many landmarks, which
     the Mahalanobis gate guarantees in practice, and it keeps the in-scan
-    top_k small (sequential-step latency dominates on TPU).
+    top_k small (sequential-step cost dominates on TPU).
 
-    With `pair_steps` the scan consumes TWO measurements per step, halving
-    the sequential depth (the TPU cost is latency-bound, not compute-bound):
-    each step enumerates the (C+1)^2 joint choices with the injectivity
-    constraint applied within the pair. Identical result whenever the beam
-    does not truncate; under truncation it keeps the jointly best pairs
-    (at least as good a cover as two greedy single steps).
+    The per-hypothesis used-landmark set is a packed uint32 bitmask (tuple
+    of ceil(N/32) lane words) instead of a [B, N] bool matrix: the in-scan
+    membership test and insert become shifts/ors with no gathers. (A
+    two-measurements-per-step variant was tried and reverted: the (C+1)^2
+    candidate matrix makes steps compute-bound and slower overall.)
 
     Returns logsumexp over the top-`beam_width` assignments.
     """
@@ -116,84 +115,48 @@ def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
     )
     opt_delta = jnp.where(m_mask[:, None], opt_delta, inactive_row[None, :])
 
+    n_words = (n + 31) // 32
+    word_k = (cand_idx // 32).astype(jnp.int32)  # [M, C]
+    bit_k = jnp.left_shift(
+        jnp.uint32(1), (cand_idx % 32).astype(jnp.uint32)
+    )  # [M, C]
+
     scores0 = jnp.full((beam_width,), NEG, dtype).at[0].set(base)
-    used0 = jnp.zeros((beam_width, n), bool)
-    iota_n = jnp.arange(n)
+    words0 = tuple(
+        jnp.zeros((beam_width,), jnp.uint32) for _ in range(n_words)
+    )
 
-    def pick_mask(idx_k, choice):
-        """[B, N] one-hot of the landmark picked by `choice` (0 = none)."""
-        lm = jnp.where(choice > 0, idx_k[jnp.maximum(choice - 1, 0)], n)
-        return iota_n[None, :] == lm[:, None]
-
-    if not pair_steps:
-        def step(carry, inputs):
-            scores, used = carry
-            dk, idx_k = inputs  # [C+1], [C]
-            used_k = used[:, idx_k]  # [B, C]
-            land = scores[:, None] + jnp.where(used_k, NEG, dk[1:][None, :])
-            cand = jnp.concatenate([scores[:, None] + dk[0], land], axis=1)
-            top, flat = jax.lax.top_k(cand.reshape(-1), beam_width)
-            src = flat // (c + 1)
-            choice = flat % (c + 1)
-            used = used[src] | pick_mask(idx_k, choice)
-            return (top, used), None
-
-        (scores, _), _ = jax.lax.scan(
-            step, (scores0, used0), (opt_delta, cand_idx)
+    def step(carry, inputs):
+        scores, words = carry[0], carry[1:]
+        dk, wk, bk = inputs  # [C+1], [C], [C]
+        # membership test: select each candidate's word, AND with its bit
+        uw = jnp.zeros((beam_width, c), jnp.uint32)
+        for w in range(n_words):
+            uw = jnp.where(wk[None, :] == w, words[w][:, None], uw)
+        used_k = (uw & bk[None, :]) != 0  # [B, C]
+        land = scores[:, None] + jnp.where(used_k, NEG, dk[1:][None, :])
+        cand = jnp.concatenate([scores[:, None] + dk[0], land], axis=1)
+        top, flat = jax.lax.top_k(cand.reshape(-1), beam_width)
+        src = flat // (c + 1)
+        choice = flat % (c + 1)  # 0 = clutter, 1 + j = candidate j
+        # picked candidate's (word, bit), 0 when clutter/no pick
+        onehot = choice[:, None] == (1 + jnp.arange(c))[None, :]  # [B, C]
+        pw = jnp.sum(jnp.where(onehot, wk[None, :], 0), axis=1).astype(
+            jnp.int32
         )
-    else:
-        m2 = (m + 1) // 2 * 2
-        pad = m2 - m
-        opt_delta = jnp.concatenate(
-            [opt_delta, jnp.tile(inactive_row[None, :], (pad, 1))]
-        ).reshape(m2 // 2, 2, c + 1)
-        cand_idx = jnp.concatenate(
-            [cand_idx, jnp.zeros((pad, c), cand_idx.dtype)]
-        ).reshape(m2 // 2, 2, c)
-
-        def step(carry, inputs):
-            scores, used = carry
-            dk, idx_k = inputs  # [2, C+1], [2, C]
-            used_a = used[:, idx_k[0]]  # [B, C]
-            used_b = used[:, idx_k[1]]
-            da = jnp.concatenate(
-                [
-                    jnp.broadcast_to(dk[0, 0], (used.shape[0], 1)),
-                    jnp.where(used_a, NEG, dk[0, 1:][None, :]),
-                ],
-                axis=1,
-            )  # [B, C+1]
-            db = jnp.concatenate(
-                [
-                    jnp.broadcast_to(dk[1, 0], (used.shape[0], 1)),
-                    jnp.where(used_b, NEG, dk[1, 1:][None, :]),
-                ],
-                axis=1,
-            )
-            # within-pair injectivity: forbid (a=j, b=l) with same landmark
-            same = idx_k[0][:, None] == idx_k[1][None, :]  # [C, C]
-            dup = jnp.pad(same, ((1, 0), (1, 0)))  # [C+1, C+1], clutter free
-            cand = (
-                scores[:, None, None]
-                + da[:, :, None]
-                + jnp.where(dup[None, :, :], NEG, db[:, None, :])
-            )  # [B, C+1, C+1]
-            top, flat = jax.lax.top_k(cand.reshape(-1), beam_width)
-            cc = c + 1
-            src = flat // (cc * cc)
-            rest = flat % (cc * cc)
-            ca = rest // cc
-            cb = rest % cc
-            used = (
-                used[src]
-                | pick_mask(idx_k[0], ca)
-                | pick_mask(idx_k[1], cb)
-            )
-            return (top, used), None
-
-        (scores, _), _ = jax.lax.scan(
-            step, (scores0, used0), (opt_delta, cand_idx)
+        pb = jnp.sum(
+            jnp.where(onehot, bk[None, :], jnp.uint32(0)), axis=1
+        ).astype(jnp.uint32)
+        new_words = tuple(
+            words[w][src] | jnp.where(pw == w, pb, jnp.uint32(0))
+            for w in range(n_words)
         )
+        return (top,) + new_words, None
+
+    carry, _ = jax.lax.scan(
+        step, (scores0,) + words0, (opt_delta, word_k, bit_k)
+    )
+    scores = carry[0]
     return jax.scipy.special.logsumexp(jnp.where(scores > NEG / 2, scores, -jnp.inf))
 
 
