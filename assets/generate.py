@@ -60,6 +60,35 @@ def gen_linear2d():
     write_commands("mov2d.in", cmds)
 
 
+def gen_linear2dloop():
+    """Loop-closure world for the chap5 K3/K4 smoother experiments
+    (reference: plots/scripts/chap5/K3-loop.sh): a long rectangular circuit,
+    landmarks scattered along the route, two laps so the smoother gets a
+    strong revisit constraint."""
+    rng = np.random.default_rng(13)
+    w, h = 8.0, 5.0
+    landmarks = []
+    for _ in range(36):
+        side = rng.integers(4)
+        u = rng.uniform(0, 1)
+        jx, jy = rng.uniform(-0.8, 0.8, 2)
+        x, y = [
+            (u * w, 0.0), (w, u * h), (u * w, h), (0.0, u * h)
+        ][side]
+        landmarks.append([x + jx, y + jy, 0.0])
+    write_world("linear2dloop.world", [0.0, 0.0], [2.0], landmarks)
+
+    cmds = []
+    sx, sy = 50, 32
+    vx, vy = w / sx, h / sy
+    for _ in range(2):  # two laps
+        cmds += [[vx, 0.0] for _ in range(sx)]
+        cmds += [[0.0, vy] for _ in range(sy)]
+        cmds += [[-vx, 0.0] for _ in range(sx)]
+        cmds += [[0.0, -vy] for _ in range(sy)]
+    write_commands("mov2dloop.in", cmds)
+
+
 def gen_sim3d():
     rng = np.random.default_rng(3)
     # camera looks along +z; keep landmarks in a shell 0.3-1.8m ahead
@@ -89,5 +118,6 @@ def gen_sim3d():
 if __name__ == "__main__":
     gen_linear1d()
     gen_linear2d()
+    gen_linear2dloop()
     gen_sim3d()
     print("assets written to", HERE)

@@ -47,6 +47,13 @@ def main():
         beam_candidates=6,
         merge_rounds=4,
     )
+    profile_dir = None
+    if "--profile" in sys.argv:
+        # XLA-level trace for perf work: open with tensorboard or xprof
+        # (the reference has no profiler hooks at all; its only timing is
+        # the headless wall-clock print, Program.cs:286-294)
+        profile_dir = str(HERE / "profile")
+        jax.profiler.start_trace(profile_dir)
     result = run_benchmark(
         HERE / "assets" / "sim3d.world",
         HERE / "assets" / "mov3d.in",
@@ -55,6 +62,9 @@ def main():
         dtype=jnp.float32,
         phd_cfg=pcfg,
     )
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profile trace written to {profile_dir}", file=sys.stderr)
     realtime_fps = 30.0
     out = {
         "metric": "frames/sec/chip PHD-SLAM 3D sim 200 particles",

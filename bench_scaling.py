@@ -26,19 +26,21 @@ def main():
 
     counts = [200, 1000, 5000, 10000]
     if "--large" in sys.argv:
-        # >~20k particles exceeds single-chip HBM with the padded [.,3,3]
-        # layouts; the 100k-particle configuration is the multi-chip regime
-        # (shard the particle axis via parallel.make_sharded_step)
-        counts += [20000]
+        # the SoA (K-last) state removed the padded-layout HBM blowup that
+        # used to OOM past ~20k particles on one chip; 100k+ remains the
+        # multi-chip regime (shard the particle axis via
+        # parallel.make_sharded_step)
+        counts += [20000, 50000]
     for p in counts:
         pcfg = PHDConfig(
             num_particles=p,
             max_components=128,
             max_measurements=48,
             gate_top=8,
-            estimate_cap=64,
-            beam_width=64,
+            estimate_cap=48,
+            beam_width=32,
             beam_meas_cap=24,
+            beam_candidates=6,
             merge_rounds=4,
         )
         r = run_benchmark(

@@ -168,6 +168,81 @@ def chap5_s2(outdir, particles=50):
     return stats
 
 
+def chap5_s1(outdir, particles=20):
+    """Trivial (zero-noise) smoother sanity grid (chap5/S1-trivial.sh +
+    trivial.cfg): with no motion/measurement noise the smoother must
+    reproduce the filter exactly."""
+    out = outdir / "chap5-s1"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = str(HERE / "configs" / "chap5-trivial.cfg")
+    phd = str(out / "phd.zip")
+    run_cli(["-f", str(ROOT / "assets/linear2d.world"),
+             "-c", str(ROOT / "assets/mov2d.in"), "-a", "phd",
+             "-p", str(particles), "-g", cfg, "-r", phd, "--frames", "160"])
+    stats = {"phd": analyze(phd, out)}
+    rec = str(out / "loopy.zip")
+    run_cli(["-f", phd, "-i", "record", "-a", "loopy", "-g", cfg, "-r", rec])
+    stats["loopy"] = analyze(rec, out)
+    return stats
+
+
+def _chap5_loop(outdir, name, cfgname, particles):
+    """Loop-closure circuit: PHD filter vs Loopy smoother vs odometry
+    (chap5/K3-loop.sh / K4-hard.sh)."""
+    out = outdir / name
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = str(HERE / "configs" / cfgname)
+    phd = str(out / "phd.zip")
+    run_cli(["-f", str(ROOT / "assets/linear2dloop.world"),
+             "-c", str(ROOT / "assets/mov2dloop.in"), "-a", "phd",
+             "-p", str(particles), "-g", cfg, "-r", phd])
+    stats = {"phd": analyze(phd, out)}
+    for alg in ("loopy", "odometry"):
+        rec = str(out / f"{alg}.zip")
+        run_cli(["-f", phd, "-i", "record", "-a", alg, "-g", cfg, "-r", rec])
+        stats[alg] = analyze(rec, out)
+    recs = [phd, str(out / "loopy.zip"), str(out / "odometry.zip")]
+    plot_series(recs, ["phd", "loopy", "odometry"], "loc",
+                str(out / "loc.png"), f"ATE location ({name})")
+    return stats
+
+
+def chap5_k3(outdir, particles=50):
+    return _chap5_loop(outdir, "chap5-k3", "chap5-default2d.cfg", particles)
+
+
+def chap5_k4(outdir, particles=50):
+    return _chap5_loop(outdir, "chap5-k4", "chap5-hard.cfg", particles)
+
+
+def chap3_k6(outdir, frames=60):
+    """Real-sensor-pipeline run (chap3/K6-realsensor.sh equivalent): a
+    synthetic RGB-D stream (stand-in for room.oni -- no sensor hardware or
+    oni assets here) through the full frontend (FAST + binary descriptors +
+    temporal RANSAC filter) into PHD mapping."""
+    out = outdir / "chap3-k6"
+    out.mkdir(parents=True, exist_ok=True)
+    from monorfs_tpu.frontend.dataset import synthesize_rgbd
+
+    npz = str(out / "synth_rgbd.npz")
+    synthesize_rgbd(npz, frames=frames)
+    cfg = str(HERE / "configs" / "chap3-kinect.cfg")
+    rec = str(out / "kinect.zip")
+    run_cli(["-f", npz, "-i", "kinect", "-a", "phd", "-p", "1", "-y",
+             "-g", cfg, "-r", rec])
+    from monorfs_tpu.io.recording import Recording
+
+    r = Recording.load(rec)
+    counts = [len(m) for _, m in r.measurements]
+    return {
+        "kinect": {
+            "frames": len(r.measurements),
+            "mean_measurements": sum(counts) / max(len(counts), 1),
+            "frames_with_measurements": sum(1 for c in counts if c > 0),
+        }
+    }
+
+
 def chap4_s8(outdir, particles=100):
     """'Sandwich': solve the same recorded data with a chain of algorithms
     (chap4/S8-sandwich.sh:10-48: known-DA iSAM2 -> odometry -> PHD ->
@@ -195,9 +270,13 @@ def chap4_s8(outdir, particles=100):
 EXPERIMENTS = {
     "chap3-s1": chap3_s1,
     "chap3-s4": chap3_s4,
+    "chap3-k6": chap3_k6,
     "chap4-s1": chap4_s1,
     "chap4-s8": chap4_s8,
+    "chap5-s1": chap5_s1,
     "chap5-s2": chap5_s2,
+    "chap5-k3": chap5_k3,
+    "chap5-k4": chap5_k4,
 }
 
 

@@ -137,6 +137,40 @@ def convert_tum(directory, output, depth_scale=5000.0, max_frames=None):
     return output
 
 
+def synthesize_rgbd(output, frames=60, h=240, w=320, seed=0):
+    """Synthetic RGB-D sequence for kinect-pipeline experiments/tests
+    (stands in for the reference's room.oni recording, chap3/K6): a textured
+    wall of random bright squares at 1.2-1.8 m with the camera panning
+    across it, depth following the square boundaries. Deterministic."""
+    rng = np.random.default_rng(seed)
+    big_w = w * 2
+    gray_wall = np.full((h, big_w), 40, np.uint8)
+    depth_wall = np.full((h, big_w), 1.8, np.float32)
+    for _ in range(90):
+        y = rng.integers(10, h - 26)
+        x = rng.integers(10, big_w - 26)
+        s = rng.integers(8, 22)
+        shade = rng.integers(120, 255)
+        gray_wall[y : y + s, x : x + s] = shade
+        depth_wall[y : y + s, x : x + s] = rng.uniform(1.2, 1.6)
+
+    times, depths, grays = [], [], []
+    for i in range(frames):
+        off = int(round(i * (big_w - w) / max(frames - 1, 1) * 0.3)) % (
+            big_w - w
+        )
+        times.append(i / 30.0)
+        grays.append(gray_wall[:, off : off + w].copy())
+        depths.append(depth_wall[:, off : off + w].copy())
+    np.savez_compressed(
+        output,
+        time=np.asarray(times),
+        depth=np.stack(depths),
+        gray=np.stack(grays),
+    )
+    return output
+
+
 class RGBDDataset:
     """Loader for converted npz RGB-D streams."""
 

@@ -62,9 +62,12 @@ def best_trajectory(rec):
 
 def odometry_drift(rec, window=10):
     """Pose-delta error over `window`-frame windows (Plot.cs:407-442):
-    dead-reckoned displacement vs groundtruth displacement."""
+    dead-reckoned displacement (and, for 7-state poses, delta-rotation
+    angle) vs groundtruth. Returns (loc series, rot series)."""
+    from .metrics.errors import _quat_angle
+
     est = best_trajectory(rec)
-    out = []
+    loc, rot = [], []
     for i in range(window, len(est)):
         t0, s0 = est[i - window]
         t1, s1 = est[i]
@@ -72,8 +75,32 @@ def odometry_drift(rec, window=10):
         g1 = _interp_state(rec.trajectory, t1)
         d = min(len(s0), len(g0), 3)
         drift = np.linalg.norm((s1[:d] - s0[:d]) - (g1[:d] - g0[:d]))
-        out.append((t1, float(drift)))
-    return out
+        loc.append((t1, float(drift)))
+        if len(s0) == 7 and len(g0) == 7:
+            # delta rotation mismatch: angle(est_delta vs true_delta)
+            de = _quat_mul(_quat_conj(s0[3:7]), s1[3:7])
+            dg = _quat_mul(_quat_conj(g0[3:7]), g1[3:7])
+            rot.append((t1, float(_quat_angle(de, dg))))
+        else:
+            rot.append((t1, 0.0))
+    return loc, rot
+
+
+def _quat_conj(q):
+    return np.array([q[0], -q[1], -q[2], -q[3]])
+
+
+def _quat_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by + ay * bw + az * bx - ax * bz,
+            aw * bz + az * bw + ax * by - ay * bx,
+        ]
+    )
 
 
 def analyze(rec: Recording, c: float = 1.0, p: float = 1.0):
@@ -83,7 +110,7 @@ def analyze(rec: Recording, c: float = 1.0, p: float = 1.0):
 
     loc = ate_location(est_traj, rec.trajectory)
     rot = ate_rotation(est_traj, rec.trajectory)
-    drift = odometry_drift(rec)
+    drift_loc, drift_rot = odometry_drift(rec)
 
     map_err, map_spatial, map_card, sizes, realsizes = [], [], [], [], []
     for (t, est), (_, truth) in zip(estimates, visited):
@@ -97,7 +124,8 @@ def analyze(rec: Recording, c: float = 1.0, p: float = 1.0):
     return {
         "loc": loc,
         "rot": rot,
-        "odoloc": drift,
+        "odoloc": drift_loc,
+        "odorot": drift_rot,
         "map": map_err,
         "mapspatial": map_spatial,
         "mapcard": map_card,

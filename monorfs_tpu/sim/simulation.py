@@ -178,7 +178,7 @@ class Simulation:
             # offline smoother: an inner online pass provides the initial
             # estimate (LoopyPHDNavigator ctor semantics,
             # LoopyPHDNavigator.cs:223-246); sweeps run in run()
-            self.loopy_sweeps = 7
+            self.loopy_sweeps = 12
             self.mode_mapping = False
         else:
             raise ValueError(f"unknown algorithm {self.algorithm}")

@@ -44,6 +44,8 @@ class LoopyConfig:
     max_meas: int
     mix_cap: int = 6  # map-message mixture components per node
     blocks: int = 8  # leave-block-out cavity maps
+    anchor_sigma: float = 0.5  # initial lp-anchor prior std (see init_state)
+    gauge_fix: bool = True  # project out the shear gauge mode per sweep
     ga_iters: int = 8
     ga_steps: int = 4  # parallel line-search fan per iteration
     jmap_cap: int = 32
@@ -86,22 +88,36 @@ LARGE_COV = 1.0e6
 
 def init_state(model, cfg: LoopyConfig, trajectory, n_nodes, dtype=jnp.float32):
     """Messages start as infinite-covariance priors with a Dirac-ish delta at
-    t=0 (initMessages, LoopyPHDNavigator.cs:281-311)."""
+    t=0 (initMessages, LoopyPHDNavigator.cs:281-311).
+
+    Jacobi-sweep delta vs the reference: the map-message slot starts with a
+    WEAK Gaussian prior at the linearization point (std `cfg.anchor_sigma`)
+    instead of empty. The reference's one-node-at-a-time Gauss-Seidel
+    schedule propagates the t=0 anchor node by node, so every node already
+    has informative neighbors when its map message first forms; a parallel
+    sweep with empty map slots instead collapses the first fused pass to
+    dead reckoning (the only surviving factor is the odometry chain from
+    the anchor), throwing the initial filter estimate away. The weak
+    lp-anchor scaffolding holds sweep 1 near the initial estimate and is
+    overwritten by the first real map fit."""
     t = cfg.max_nodes
     o = model.pose.odo_dim
     eye = jnp.eye(o, dtype=dtype)
     inf = LARGE_COV * eye
     past_cov = jnp.broadcast_to(inf, (t, o, o)).at[0].set(1e-8 * eye)
+    map_cov = jnp.broadcast_to(eye, (t, cfg.mix_cap, o, o))
+    map_cov = map_cov.at[:, 0].set(cfg.anchor_sigma ** 2 * eye)
+    map_logw = jnp.full((t, cfg.mix_cap), DEAD, dtype).at[:, 0].set(0.0)
     return LoopyState(
         lp=jnp.asarray(trajectory, dtype),
         past_mean=jnp.zeros((t, o), dtype),
         past_cov=past_cov,
         future_mean=jnp.zeros((t, o), dtype),
         future_cov=jnp.broadcast_to(inf, (t, o, o)),
-        map_const=jnp.zeros((t,), dtype),
+        map_const=jnp.full((t,), DEAD, dtype),
         map_mean=jnp.zeros((t, cfg.mix_cap, o), dtype),
-        map_cov=jnp.broadcast_to(eye, (t, cfg.mix_cap, o, o)),
-        map_logw=jnp.full((t, cfg.mix_cap), DEAD, dtype),
+        map_cov=map_cov,
+        map_logw=map_logw,
         fused_mean=jnp.zeros((t, o), dtype),
         fused_cov=jnp.broadcast_to(inf, (t, o, o)),
         node_mask=jnp.arange(t) < n_nodes,
@@ -475,7 +491,7 @@ def fit_map_message(model, cfg: LoopyConfig, params, lp, pose0, pf_cov, jmap,
         jax.vmap(lambda g: model.pose.subtract(g, lp))
     )(fit).reshape(-1, o)
     score = jnp.where(valid, -dist2.reshape(-1), -jnp.inf)
-    _, top = jax.lax.top_k(score, cfg.mix_cap - 1)
+    _, top = jax.lax.top_k(score, cfg.mix_cap - 2)  # +pose0 +anchor slots
     guesses = jnp.concatenate([pose0[None, :], tangents[top]], axis=0)
     guess_valid = jnp.concatenate(
         [jnp.ones((1,), bool), valid[top] & (score[top] > -jnp.inf)]
@@ -549,7 +565,27 @@ def fit_map_message(model, cfg: LoopyConfig, params, lp, pose0, pf_cov, jmap,
     cov = jnp.where(
         alive[:, None, None], cov, jnp.eye(o, dtype=dtype)
     )
-    return emptyspace, maxpose, cov, logw
+
+    # Trust-region anchor: the returned factor is anchor x (const + mixture)
+    # with anchor = N(tangent; 0, anchor_sigma^2) at the linearization point.
+    # Without it the Jacobi sweeps drift in the posterior's soft shear mode
+    # (poses + map translate coherently, ~free in both the chain and the map
+    # likelihood; loopy double-counting turns the soft mode into a constant
+    # per-sweep slide). The product keeps every map message within
+    # ~anchor_sigma of the initial estimate; the const branch becomes an
+    # explicit anchor component so the factor stays a plain mixture.
+    eye_a = cfg.anchor_sigma ** 2 * jnp.eye(o, dtype=dtype)
+    zero = jnp.zeros((o,), dtype)
+    am, ac = _fuse(maxpose, cov, zero[None, :], eye_a[None, :, :])
+    ascale = gaussian.logpdf(maxpose, zero[None, :], cov + eye_a)
+    logw = jnp.where(alive, logw + ascale, DEAD)
+    maxpose = jnp.where(alive[:, None], am, 0.0)
+    cov = jnp.where(alive[:, None, None], ac, jnp.eye(o, dtype=dtype))
+    # anchor component carrying the const (empty-space) branch
+    maxpose = jnp.concatenate([maxpose, zero[None, :]], axis=0)
+    cov = jnp.concatenate([cov, eye_a[None, :, :]], axis=0)
+    logw = jnp.concatenate([logw, emptyspace[None]], axis=0)
+    return DEAD, maxpose, cov, logw
 
 
 def map_sweep(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask,
@@ -558,11 +594,16 @@ def map_sweep(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask,
 
     causal=True uses the first-pass filtering maps (frames 0..t-1 per node),
     matching the reference's growing tofilter schedule."""
-    # map-factor poses: fused(past x future) at each node (:559-575)
+    # node-local cavity pose (seed + annealing width): past x future, own
+    # map factor excluded (:559-575)
     pf_mean, pf_cov = _fuse(
         state.past_mean, state.past_cov, state.future_mean, state.future_cov
     )
-    map_poses = model.pose.add(state.lp, pf_mean)
+    # poses the cavity MAPS are built from: the full fused beliefs (the
+    # reference's FilterMissing filters over the fused trajectory,
+    # :186-197/:729-763) -- only node t's own pose excludes its map factor,
+    # not every other node's
+    map_poses = model.pose.add(state.lp, state.fused_mean)
     t = state.lp.shape[0]
     if causal:
         jmaps, jcovs, jvalids = causal_maps(
@@ -584,9 +625,10 @@ def map_sweep(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask,
             model, cfg, params, state.lp[i], pf_mean[i], pf_cov[i], jmap,
             jcov, jvalid, z[i], z_mask[i], temperature, grad_clip, grad_rate,
         )
-        # nodes without measurements carry an uninformative factor (:530-544)
-        const = jnp.where(has_meas, const, 0.0)
-        mw = jnp.where(has_meas, mw, DEAD)
+        # nodes without measurements keep only the trust-region anchor
+        # (last slot) -- the reference carries a flat factor there (:530-544)
+        no_meas_w = jnp.full((mw.shape[0],), DEAD, mw.dtype).at[-1].set(0.0)
+        mw = jnp.where(has_meas, mw, no_meas_w)
         return const, mm, mc, mw
 
     m_const, m_mean, m_cov, m_logw = jax.vmap(node)(jnp.arange(t))
@@ -598,6 +640,31 @@ def map_sweep(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask,
 
 
 # ----------------------------------------------------------------------
+
+
+def gauge_fix_shear(state: LoopyState):
+    """Project the shear gauge mode out of the fused belief.
+
+    The joint (poses, map) posterior is nearly flat along a coherent warp
+    that grows linearly from the t=0 anchor (the chain cost of rate-epsilon
+    shear is ~T epsilon^2 / 2 sigma^2 -- negligible -- and the map
+    likelihood is invariant when the map moves with the poses). Message
+    passing therefore wanders in that valley, driven by fit-stage noise;
+    the truth-closest valley point we know is the initial estimate (lp), so
+    after each sweep the best-fit shear b*t of the deviation from lp is
+    removed. Local/relative corrections (the smoother's actual job) are
+    orthogonal to the projected mode and survive."""
+    t = state.lp.shape[0]
+    ts = jnp.where(state.node_mask, jnp.arange(t, dtype=state.fused_mean.dtype),
+                   0.0)
+    num = jnp.sum(ts[:, None] * state.fused_mean, axis=0)  # [O]
+    den = jnp.maximum(jnp.sum(ts * ts), 1.0)
+    b = num / den
+    fixed = state.fused_mean - ts[:, None] * b[None, :]
+    return state._replace(
+        fused_mean=jnp.where(state.node_mask[:, None], fixed,
+                             state.fused_mean)
+    )
 
 
 def make_sweep(model, cfg: LoopyConfig, causal=False, damping=0.6):
@@ -625,6 +692,8 @@ def make_sweep(model, cfg: LoopyConfig, causal=False, damping=0.6):
             cov = gaussian.inv(info)
             mean = jnp.einsum("...ij,...j->...i", cov, vec)
             state = state._replace(fused_mean=mean, fused_cov=cov)
+        if cfg.gauge_fix:
+            state = gauge_fix_shear(state)
         return state
 
     return sweep

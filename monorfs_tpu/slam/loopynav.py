@@ -95,13 +95,13 @@ class LoopyPHDNavigator:
         self.sweeps += 1
         return self
 
-    # The annealed message passing is non-monotone: past ~DEFAULT_SWEEPS the
-    # ever-tightening map messages enter a coherent gauge-slide regime (the
-    # joint likelihood cannot see it -- a slid trajectory+map is equally
-    # self-consistent). A fixed sweep budget at the empirical annealing
-    # optimum is the robust choice; trajectory_objective remains available
-    # as a diagnostic.
-    DEFAULT_SWEEPS = 7
+    # With the trust-region anchor + per-sweep shear gauge fix (loopy.py)
+    # the annealed message passing converges: no-closure records no longer
+    # slide (the joint likelihood is ~flat along the shear mode, so the
+    # fixed gauge costs nothing), and loop-closure records keep their
+    # revisit corrections. 12 sweeps reaches the converged plateau on the
+    # chap5 grids; trajectory_objective remains available as a diagnostic.
+    DEFAULT_SWEEPS = 12
 
     def objective(self):
         return float(self._objective(self.state))

@@ -87,6 +87,9 @@ def test_smoother_improves_dead_reckoning():
         loopy_cfg=loopy.LoopyConfig(
             max_nodes=len(est), max_meas=16, mix_cap=4, blocks=4,
             ga_iters=6, jmap_cap=16, beam_width=16,
+            # a dead-reckoned init is only trusted for relative structure:
+            # disable the absolute-trust gauge fix and anchor loosely
+            gauge_fix=False, anchor_sigma=2.0,
         ),
         link_cov=np.diag([0.05**2, 0.05**2]),  # the test's readings noise
     )
@@ -112,3 +115,27 @@ def test_smoother_improves_dead_reckoning():
         if np.min(np.linalg.norm(truth_lms - m, axis=1)) < 0.2
     )
     assert hits >= len(means) * 0.7, (hits, len(means))
+
+
+def test_smoother_preserves_good_init():
+    """With the default trust-region + gauge-fix config, a filter-quality
+    initial estimate must not be degraded (regression: early builds slid
+    coherently away from good inits in the posterior's shear gauge mode)."""
+    model, cfg, truth, readings, measurements, est = make_problem()
+    rng = np.random.default_rng(9)
+    good = truth + rng.normal(size=truth.shape) * 0.05
+    nav = LoopyPHDNavigator(
+        model, cfg, good, readings, measurements, max_meas=16,
+        loopy_cfg=loopy.LoopyConfig(
+            max_nodes=len(good), max_meas=16, mix_cap=4, blocks=4,
+            ga_iters=6, jmap_cap=16, beam_width=16,
+        ),
+        link_cov=np.diag([0.05**2, 0.05**2]),
+    )
+    err0 = np.sqrt(np.mean(np.sum((good - truth) ** 2, axis=1)))
+    for _ in range(5):
+        nav.sweep()
+    smoothed = nav.trajectory
+    err = np.sqrt(np.mean(np.sum((smoothed - truth) ** 2, axis=1)))
+    assert np.isfinite(smoothed).all()
+    assert err < err0 * 1.05, (err, err0)
