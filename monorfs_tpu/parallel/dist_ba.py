@@ -267,14 +267,24 @@ def make_dist_gauss_newton(model, cfg: DistBAConfig, mesh,
 
     rep = P()
     lsh = P(axis_name)
-    fn = shard_map(
-        local_solve,
-        mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, lsh, lsh, lsh, lsh, lsh, lsh,
-                  rep, rep),
-        out_specs=(rep, lsh),
-        check_rep=False,
-    )
+    try:
+        fn = shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, rep, rep, lsh, lsh, lsh, lsh, lsh, lsh,
+                      rep, rep),
+            out_specs=(rep, lsh),
+            check_vma=False,
+        )
+    except TypeError:  # older jax: check_rep instead of check_vma
+        fn = shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, rep, rep, lsh, lsh, lsh, lsh, lsh, lsh,
+                      rep, rep),
+            out_specs=(rep, lsh),
+            check_rep=False,
+        )
     return jax.jit(fn)
 
 
