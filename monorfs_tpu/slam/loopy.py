@@ -230,9 +230,9 @@ def motion_jacobian(model, prevlinear, linear, prevmean, odometry):
 # message sweeps
 
 
-def forward_sweep(model, state: LoopyState, odometry, motion_cov):
-    """msg_past[t] from fused[t-1] / future[t-1]
-    (UpdateMessagesFromPast, :427-460), as a sequential scan."""
+def make_forward_step(model, motion_cov):
+    """Scan step of the forward message sweep; shared by the sequential
+    sweep below and the block-parallel sharded sweep (parallel/chain.py)."""
 
     def step(carry, inputs):
         fused_prev_mean, fused_prev_cov = carry
@@ -261,6 +261,13 @@ def forward_sweep(model, state: LoopyState, odometry, motion_cov):
         return (fused_mean, fused_cov), (new_past_mean, new_past_cov,
                                          fused_mean, fused_cov)
 
+    return step
+
+
+def forward_sweep(model, state: LoopyState, odometry, motion_cov):
+    """msg_past[t] from fused[t-1] / future[t-1]
+    (UpdateMessagesFromPast, :427-460), as a sequential scan."""
+    step = make_forward_step(model, motion_cov)
     t = state.lp.shape[0]
     lp_prev = jnp.roll(state.lp, 1, axis=0)
     fut_prev_mean = jnp.roll(state.future_mean, 1, axis=0)
@@ -309,10 +316,9 @@ def _pinv(mat):
     return jnp.einsum("...ab,...b,...cb->...ac", vec, inv_lam, vec)
 
 
-def backward_sweep(model, state: LoopyState, odometry, motion_cov):
-    """msg_future[t] from fused[t+1] / past[t+1]
-    (UpdateMessagesFromFuture, :467-501), reverse scan with pseudo-inverse
-    Jacobian."""
+def make_backward_step(model, motion_cov):
+    """Scan step of the backward message sweep (reverse direction,
+    pseudo-inverse Jacobian); shared with parallel/chain.py."""
 
     def step(carry, inputs):
         fused_next_mean, fused_next_cov = carry
@@ -341,6 +347,14 @@ def backward_sweep(model, state: LoopyState, odometry, motion_cov):
         return (fused_mean, fused_cov), (new_fut_mean, new_fut_cov,
                                          fused_mean, fused_cov)
 
+    return step
+
+
+def backward_sweep(model, state: LoopyState, odometry, motion_cov):
+    """msg_future[t] from fused[t+1] / past[t+1]
+    (UpdateMessagesFromFuture, :467-501), reverse scan with pseudo-inverse
+    Jacobian."""
+    step = make_backward_step(model, motion_cov)
     t = state.lp.shape[0]
     lp_next = jnp.roll(state.lp, -1, axis=0)
     past_next_mean = jnp.roll(state.past_mean, -1, axis=0)
@@ -376,40 +390,47 @@ def backward_sweep(model, state: LoopyState, odometry, motion_cov):
 # cavity maps (leave-block-out FilterMissing replacement)
 
 
+def cavity_map_block(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
+                     block_id):
+    """One leave-block-out mapping-PHD pass over the trajectory, excluding
+    the frames with t % cfg.blocks == block_id. Factored out so the
+    chain-sharded sweep (parallel/chain.py) can distribute the B passes
+    over the mesh."""
+    b = cfg.blocks
+    t = map_poses.shape[0]
+    icfg = cfg.inner
+    step = phd.make_slam_step(model, icfg, slam=False)
+    state0 = phd.init_state(
+        model, icfg, jnp.zeros_like(map_poses[0]), map_poses.dtype
+    )
+    key = jax.random.PRNGKey(0)
+
+    def frame(st, inputs):
+        pose_t, z_t, mask_t, tidx = inputs
+        excluded = (tidx % b) == block_id
+        mask_eff = mask_t & ~excluded
+        st2 = step(params, st, jnp.zeros((model.pose.odo_dim,),
+                                         map_poses.dtype),
+                   z_t, mask_eff, key, true_pose=pose_t)
+        return st2, None
+
+    st, _ = jax.lax.scan(
+        frame, state0, (map_poses, z, z_mask, jnp.arange(t))
+    )
+    gm = GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
+    jidx, jvalid = mixture.best_map_indices(gm.logw, cfg.jmap_cap)
+    return gm.mean[jidx], gm.cov[jidx], jvalid
+
+
 def cavity_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask):
     """Run B mapping-PHD passes over the trajectory, pass b excluding the
     frames with t % B == b. Returns per-block jmap means [B, J, 3] + valid.
 
     One vmapped lax.scan: O(B*T) total work replacing the reference's O(T^2)
     FilterMissing (:729-763)."""
-    b = cfg.blocks
-    t = map_poses.shape[0]
-    icfg = cfg.inner
-    step = phd.make_slam_step(model, icfg, slam=False)
-
-    def run_block(block_id):
-        state0 = phd.init_state(
-            model, icfg, jnp.zeros_like(map_poses[0]), map_poses.dtype
-        )
-        key = jax.random.PRNGKey(0)
-
-        def frame(st, inputs):
-            pose_t, z_t, mask_t, tidx = inputs
-            excluded = (tidx % b) == block_id
-            mask_eff = mask_t & ~excluded
-            st2 = step(params, st, jnp.zeros((model.pose.odo_dim,),
-                                             map_poses.dtype),
-                       z_t, mask_eff, key, true_pose=pose_t)
-            return st2, None
-
-        st, _ = jax.lax.scan(
-            frame, state0, (map_poses, z, z_mask, jnp.arange(t))
-        )
-        gm = GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
-        jidx, jvalid = mixture.best_map_indices(gm.logw, cfg.jmap_cap)
-        return gm.mean[jidx], gm.cov[jidx], jvalid
-
-    return jax.vmap(run_block)(jnp.arange(b))
+    return jax.vmap(
+        lambda b: cavity_map_block(model, cfg, params, map_poses, z, z_mask, b)
+    )(jnp.arange(cfg.blocks))
 
 
 def causal_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask):
