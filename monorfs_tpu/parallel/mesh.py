@@ -58,7 +58,11 @@ def make_sharded_step(model, cfg, mesh, slam=True):
     the annotations below."""
     from ..slam import phd
 
-    step = phd.make_slam_step(model, cfg, slam=slam)
+    # pallas_beam off: a pallas_call is opaque to the SPMD partitioner, so
+    # the XLA beam path keeps the particle axis cleanly sharded (a sharded
+    # pallas beam would need shard_map; the beam is lane-local per particle
+    # so this is a straightforward follow-up)
+    step = phd.make_slam_step(model, cfg, slam=slam, pallas_beam=False)
     sh = state_sharding(mesh)
     rep = NamedSharding(mesh, P())
 

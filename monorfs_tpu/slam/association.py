@@ -93,6 +93,23 @@ def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
 
     Returns logsumexp over the top-`beam_width` assignments.
     """
+    base, opt_delta, word_k, bit_k, n_words = prepare_options(
+        ll, log_miss, log_clutter, n_mask, m_mask, max_candidates
+    )
+    scores = beam_scan(base, opt_delta, word_k, bit_k, beam_width, n_words)
+    return jax.scipy.special.logsumexp(
+        jnp.where(scores > NEG / 2, scores, -jnp.inf)
+    )
+
+
+def prepare_options(ll, log_miss, log_clutter, n_mask, m_mask,
+                    max_candidates=8):
+    """Per-measurement option vectors for the beam scan.
+
+    Returns (base, opt_delta [M, C+1], word_k [M, C] int32,
+    bit_k [M, C] uint32, n_words): slot 0 of opt_delta = clutter, slot 1+j =
+    the j-th best gated landmark; word/bit identify each candidate landmark
+    in the packed used-set bitmask. Vmappable (used per particle)."""
     n, m = ll.shape
     c = min(max_candidates, n)
     dtype = ll.dtype
@@ -120,7 +137,15 @@ def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
     bit_k = jnp.left_shift(
         jnp.uint32(1), (cand_idx % 32).astype(jnp.uint32)
     )  # [M, C]
+    return base, opt_delta, word_k, bit_k, n_words
 
+
+def beam_scan(base, opt_delta, word_k, bit_k, beam_width, n_words):
+    """Sequential beam over measurements (XLA lax.scan path). Returns the
+    final top-`beam_width` assignment scores [B] (NEG = empty slot)."""
+    m, c1 = opt_delta.shape
+    c = c1 - 1
+    dtype = opt_delta.dtype
     scores0 = jnp.full((beam_width,), NEG, dtype).at[0].set(base)
     words0 = tuple(
         jnp.zeros((beam_width,), jnp.uint32) for _ in range(n_words)
@@ -156,8 +181,7 @@ def set_log_likelihood(ll, log_miss, log_clutter, n_mask, m_mask, beam_width,
     carry, _ = jax.lax.scan(
         step, (scores0,) + words0, (opt_delta, word_k, bit_k)
     )
-    scores = carry[0]
-    return jax.scipy.special.logsumexp(jnp.where(scores > NEG / 2, scores, -jnp.inf))
+    return carry[0]
 
 
 def quasi_set_log_likelihood(model, meas_cov, pd, log_clutter, pose,

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from ..gm import gaussian, mixture, smallmat
 from ..gm.mixture import ALIVE_THRESHOLD, DEAD, GM, SGM
-from . import association
+from . import association, beam_pallas
 
 
 @dataclasses.dataclass(frozen=True)
@@ -344,13 +344,29 @@ def _correct_prune_soa(model, cfg, params, fns, pose, pred: SGM, zl, z_mask):
 
 
 def _weight_alpha_soa(model, cfg, params, fns, pose, predicted: SGM,
-                      corrected: SGM, zl, z_mask):
+                      corrected: SGM, zl, z_mask,
+                      return_beam_inputs=False):
     """Particle log-weight increment (WeightAlpha, PHDNavigator.cs:373-393):
     log alpha = setLL + (plog - n_pred) - (clog - n_corr) evaluated on the
-    MAP map estimate of the corrected mixture."""
+    MAP map estimate of the corrected mixture.
+
+    With return_beam_inputs=True the association beam is NOT run here;
+    instead the prepared per-measurement option tensors are returned so the
+    caller can run the beam over all particles at once (the fused Pallas
+    kernel in beam_pallas.py -- see make_slam_step)."""
     measure_s, _, _, fuzzy_s = fns
+    dtype = corrected.logw.dtype
     jidx, jvalid = mixture.best_map_indices(corrected.logw, cfg.estimate_cap)
-    jmeans = [mi[jidx] for mi in corrected.mean_list()]  # 3-list [E]
+    # one-hot matmul gather (take_along_axis on the lane axis is ~5x slower
+    # on TPU; see _correct_prune_soa)
+    k = corrected.logw.shape[-1]
+    onehot_j = (
+        jidx[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]
+    ).astype(dtype)  # [E, K]
+    mfeat = jnp.stack(corrected.mean_list(), axis=-1)  # [K, 3]
+    mfeat = jnp.where(jnp.isfinite(mfeat), mfeat, 0.0)
+    jm = onehot_j @ mfeat
+    jmeans = [jm[:, i] for i in range(3)]  # 3-list [E]
 
     def mixture_loglike(gm):
         vals = mixture.evaluate_many_soa(gm, jmeans)
@@ -366,7 +382,13 @@ def _weight_alpha_soa(model, cfg, params, fns, pose, predicted: SGM,
     # compact valid measurements to the front and cap the beam length
     m_cap = cfg.beam_meas_cap or zl[0].shape[0]
     order = jnp.argsort(~z_mask)[:m_cap]
-    zc = [zi[order] for zi in zl]
+    onehot_o = (
+        order[:, None] == jnp.arange(zl[0].shape[0], dtype=jnp.int32)[None, :]
+    ).astype(dtype)  # [m_cap, M]
+    zfeat = jnp.stack(zl, axis=-1)
+    zfeat = jnp.where(jnp.isfinite(zfeat), zfeat, 0.0)
+    zcm = onehot_o @ zfeat  # [m_cap, D]
+    zc = [zcm[:, i] for i in range(len(zl))]
     zc_mask = z_mask[order]
 
     # gated association log-likelihood matrix [E, m_cap]
@@ -386,11 +408,18 @@ def _weight_alpha_soa(model, cfg, params, fns, pose, predicted: SGM,
     ll = jnp.where(d2 < 25.0, ll, association.NEG)  # Mahalanobis gate 5
     ll = jnp.where(zc_mask[None, :], ll, association.NEG)
 
+    rest = (plog - n_pred) - (clog - n_corr)
+    if return_beam_inputs:
+        base, od, wk, bk, _ = association.prepare_options(
+            ll, log_miss, jnp.log(params.clutter_density), jvalid, zc_mask,
+            cfg.beam_candidates,
+        )
+        return rest, base, od, wk, bk
     setll = association.set_log_likelihood(
         ll, log_miss, jnp.log(params.clutter_density), jvalid, zc_mask,
         cfg.beam_width, max_candidates=cfg.beam_candidates,
     )
-    return setll + (plog - n_pred) - (clog - n_corr)
+    return setll + rest
 
 
 def resample(state: PHDState, key):
@@ -415,17 +444,28 @@ def resample(state: PHDState, key):
     )
 
 
-def make_slam_step(model, cfg: PHDConfig, slam: bool = True):
+def make_slam_step(model, cfg: PHDConfig, slam: bool = True,
+                   pallas_beam=None):
     """Build the jittable full SLAM step:
     (params, state, odometry, z, z_mask, key[, true_pose]) -> state.
 
     With slam=False the filter runs mapping-only: poses snap to `true_pose`
     and particle weights stay fixed (PHDNavigator.cs:192-208, :297-300,
-    :334-336)."""
+    :334-336).
+
+    pallas_beam: run the association beam of the weight stage as one fused
+    Pallas TPU kernel over all particles (beam_pallas.py) instead of the
+    per-particle XLA scan. None = auto (on for the TPU backend, float32)."""
     measure_s = model.measure_soa_fn()
     jac_s = model.jac_landmark_soa_fn()
     to_map_s = model.to_map_soa_fn()
     d = model.meas_dim
+    if pallas_beam is None:
+        pallas_beam = (
+            jax.default_backend() == "tpu"
+            and not jax.config.jax_enable_x64
+        )
+    use_beam_kernel = slam and pallas_beam
 
     def per_particle(params, pose, maps, zl, z_mask):
         fuzzy_s = model.fuzzy_visible_soa_fn(params.depth_map)
@@ -435,6 +475,12 @@ def make_slam_step(model, cfg: PHDConfig, slam: bool = True):
         corrected = _correct_prune_soa(
             model, cfg, params, fns, pose, predicted, zl, z_mask
         )
+        if use_beam_kernel:
+            out = _weight_alpha_soa(
+                model, cfg, params, fns, pose, predicted, corrected, zl,
+                z_mask, return_beam_inputs=True,
+            )
+            return corrected, out
         if slam:
             dlog = _weight_alpha_soa(
                 model, cfg, params, fns, pose, predicted, corrected, zl,
@@ -453,6 +499,17 @@ def make_slam_step(model, cfg: PHDConfig, slam: bool = True):
         corrected, dlog = jax.vmap(
             lambda pose, maps: per_particle(params, pose, maps, zl, z_mask)
         )(state.pose, state.maps)
+        if use_beam_kernel:
+            rest, base, od, wk, bk = dlog
+            n_words = (cfg.estimate_cap + 31) // 32
+            scores = beam_pallas.beam_scan_batch(
+                base, od, wk, bk, cfg.beam_width, n_words
+            )
+            setll = jax.scipy.special.logsumexp(
+                jnp.where(scores > association.NEG / 2, scores, -jnp.inf),
+                axis=-1,
+            )
+            dlog = setll + rest
 
         logweight = state.logweight + dlog
         if slam:

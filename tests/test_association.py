@@ -141,3 +141,36 @@ def test_quasi_peak_at_true_pose():
     # gradient vanishes at the optimum
     g = jax.grad(f)(true_pose)
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-5)
+
+
+def test_pallas_beam_parity():
+    """The fused Pallas beam kernel (interpret mode) is bit-identical to the
+    vmapped XLA beam scan on random gated instances."""
+    from monorfs_tpu.slam import beam_pallas
+
+    rng = np.random.default_rng(3)
+    p_, n, m_, c, b = 9, 48, 17, 6, 32
+    ll = rng.normal(0, 3, (p_, n, m_)).astype(np.float32)
+    ll = np.where(rng.random((p_, n, m_)) < 0.7, association.NEG, ll)
+    log_miss = rng.normal(-1, 0.5, (p_, n)).astype(np.float32)
+    n_mask = rng.random((p_, n)) < 0.8
+    m_mask = rng.random((p_, m_)) < 0.8
+    log_clutter = np.float32(-2.5)
+
+    prep = jax.vmap(
+        lambda l, lm, nm, mm: association.prepare_options(
+            l, lm, log_clutter, nm, mm, c
+        )
+    )
+    base, od, wk, bk, _ = prep(
+        jnp.asarray(ll), jnp.asarray(log_miss), jnp.asarray(n_mask),
+        jnp.asarray(m_mask),
+    )
+    n_words = (n + 31) // 32
+    ref = jax.vmap(
+        lambda b_, o, w, k: association.beam_scan(b_, o, w, k, b, n_words)
+    )(base, od, wk, bk)
+    out = beam_pallas.beam_scan_batch(
+        base, od, wk, bk, b, n_words, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

@@ -57,8 +57,10 @@ def main():
     orig_correct = phd._correct_prune_soa
     orig_weight = phd._weight_alpha_soa
 
-    def run(label):
-        step = jax.jit(phd.make_slam_step(model, pcfg, slam=True))
+    def run(label, pallas=None):
+        step = jax.jit(
+            phd.make_slam_step(model, pcfg, slam=True, pallas_beam=pallas)
+        )
         ms = timeit(step, params, state, odo, z, z_mask, key)
         print(f"{label:28s}: {ms:8.3f} ms")
         return ms
@@ -66,10 +68,10 @@ def main():
     run("full")
 
     phd._weight_alpha_soa = (
-        lambda model, cfg_, params_, fns, pose, pr, co, zl, zm:
+        lambda model, cfg_, params_, fns, pose, pr, co, zl, zm, **kw:
         jnp.sum(co.logw) * 0.0 + pose[0] * 1e-12
     )
-    run("no weight")
+    run("no weight", pallas=False)
     phd._weight_alpha_soa = orig_weight
 
     def correct_noop(model_, cfg_, params_, fns, pose, pred, zl, zm):
@@ -78,10 +80,10 @@ def main():
     phd._correct_prune_soa = correct_noop
     run("no correct (weight+births)")
     phd._weight_alpha_soa = (
-        lambda model, cfg_, params_, fns, pose, pr, co, zl, zm:
+        lambda model, cfg_, params_, fns, pose, pr, co, zl, zm, **kw:
         jnp.sum(co.logw) * 0.0 + pose[0] * 1e-12
     )
-    run("births only")
+    run("births only", pallas=False)
     phd._correct_prune_soa = orig_correct
     run("no weight (again)")
     phd._weight_alpha_soa = orig_weight
