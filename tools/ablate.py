@@ -85,7 +85,7 @@ def main():
     )
     run("births only", pallas=False)
     phd._correct_prune_soa = orig_correct
-    run("no weight (again)")
+    run("no weight (again)", pallas=False)
     phd._weight_alpha_soa = orig_weight
 
     # correct without merge: cut at top_k, return survivors directly
