@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""iSAM2-equivalent benchmark: frames/s of the graph-SLAM navigator
+(Mahalanobis association + bucketed warm-started Gauss-Newton) on the 3D
+pixel-range sim world — the BASELINE configs[3]-shaped backend load.
+
+Prints ONE JSON line (same schema as bench.py)."""
+
+import json
+import pathlib
+import sys
+import time
+
+HERE = pathlib.Path(__file__).parent
+sys.path.insert(0, str(HERE))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(HERE / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from monorfs_tpu.config import Config
+    from monorfs_tpu.io import World, parse_commands
+    from monorfs_tpu.metrics import ate_location, rmse
+    from monorfs_tpu.sim import Simulation
+
+    frames = int(sys.argv[sys.argv.index("--frames") + 1]) \
+        if "--frames" in sys.argv else 200
+
+    cfg = Config()  # PRM3D defaults
+    world = World.from_file(HERE / "assets" / "sim3d.world")
+    commands = parse_commands(
+        (HERE / "assets" / "mov3d.in").read_text()
+    )[:frames]
+    sim = Simulation(cfg, world, commands, algorithm="isam2", particles=1,
+                     dtype=np.float32)
+
+    # warm-up: first frames trigger the bucket compilations
+    for cmd in commands[:10]:
+        sim.step(cmd)
+    t0 = time.perf_counter()
+    for cmd in commands[10:]:
+        sim.step(cmd)
+    elapsed = time.perf_counter() - t0
+    fps = (len(commands) - 10) / elapsed
+
+    est = [(t, f["poses"][f["best"]]) for t, f in
+           zip([w[0] for w in sim.waypoints], sim.frames)]
+    ate = rmse(ate_location(est, sim.waypoints))
+    realtime_fps = 30.0
+    print(json.dumps({
+        "metric": "frames/sec isam2-equivalent 3D sim",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / realtime_fps, 3),
+    }))
+    print(json.dumps({"detail": {"frames": len(commands),
+                                 "ate_rmse_loc": round(float(ate), 4)}}),
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -246,19 +246,27 @@ def chap3_k6(outdir, frames=60):
 def chap4_s8(outdir, particles=100):
     """'Sandwich': solve the same recorded data with a chain of algorithms
     (chap4/S8-sandwich.sh:10-48: known-DA iSAM2 -> odometry -> PHD ->
-    Mahalanobis iSAM2 over one shared record)."""
+    Mahalanobis iSAM2 over one shared record). Known-DA replays use the
+    true association labels persisted in sightings.out."""
     out = outdir / "chap4-s8"
     out.mkdir(parents=True, exist_ok=True)
     cfg = str(HERE / "configs" / "chap4-default.cfg")
+    cfg_known = str(HERE / "configs" / "chap4-known.cfg")
     base = str(out / "record.zip")
     run_cli(["-f", str(ROOT / "assets/sim3d.world"),
              "-c", str(ROOT / "assets/mov3d.in"), "-a", "phd",
              "-p", str(particles), "-g", cfg, "-r", base])
     stats = {"phd": analyze(base, out)}
-    for alg in ("isam2", "odometry"):
-        rec = str(out / f"{alg}.zip")
-        run_cli(["-f", base, "-i", "record", "-a", alg, "-g", cfg, "-r", rec])
-        stats[alg] = analyze(rec, out)
+    legs = [
+        ("isam2-known", "isam2", cfg_known),
+        ("odometry", "odometry", cfg),
+        ("isam2-mahalanobis", "isam2", cfg),
+    ]
+    for name, alg, legcfg in legs:
+        rec = str(out / f"{name}.zip")
+        run_cli(["-f", base, "-i", "record", "-a", alg, "-g", legcfg,
+                 "-r", rec])
+        stats[name] = analyze(rec, out)
     # re-solve the odometry-solved record with phd again (the sandwich turn)
     rec2 = str(out / "phd-resolve.zip")
     run_cli(["-f", str(out / "odometry.zip"), "-i", "record", "-a", "phd",

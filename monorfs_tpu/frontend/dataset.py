@@ -137,11 +137,18 @@ def convert_tum(directory, output, depth_scale=5000.0, max_frames=None):
     return output
 
 
-def synthesize_rgbd(output, frames=60, h=240, w=320, seed=0):
+def synthesize_rgbd(output, frames=60, h=240, w=320, seed=0,
+                    flat_depth=None, pan_rate=0.3):
     """Synthetic RGB-D sequence for kinect-pipeline experiments/tests
     (stands in for the reference's room.oni recording, chap3/K6): a textured
     wall of random bright squares at 1.2-1.8 m with the camera panning
-    across it, depth following the square boundaries. Deterministic."""
+    across it, depth following the square boundaries. Deterministic.
+
+    With `flat_depth` set, every pixel sits at that constant depth, which
+    makes the image pan geometrically EXACT for a laterally translating
+    pinhole camera: shifting the window by `off` pixels equals a camera
+    translation of off * flat_depth / f. Returns (path, offsets) so tests
+    can reconstruct the true trajectory."""
     rng = np.random.default_rng(seed)
     big_w = w * 2
     gray_wall = np.full((h, big_w), 40, np.uint8)
@@ -153,13 +160,16 @@ def synthesize_rgbd(output, frames=60, h=240, w=320, seed=0):
         shade = rng.integers(120, 255)
         gray_wall[y : y + s, x : x + s] = shade
         depth_wall[y : y + s, x : x + s] = rng.uniform(1.2, 1.6)
+    if flat_depth is not None:
+        depth_wall[:] = flat_depth
 
-    times, depths, grays = [], [], []
+    times, depths, grays, offsets = [], [], [], []
     for i in range(frames):
-        off = int(round(i * (big_w - w) / max(frames - 1, 1) * 0.3)) % (
+        off = int(round(i * (big_w - w) / max(frames - 1, 1) * pan_rate)) % (
             big_w - w
         )
         times.append(i / 30.0)
+        offsets.append(off)
         grays.append(gray_wall[:, off : off + w].copy())
         depths.append(depth_wall[:, off : off + w].copy())
     np.savez_compressed(
@@ -168,7 +178,7 @@ def synthesize_rgbd(output, frames=60, h=240, w=320, seed=0):
         depth=np.stack(depths),
         gray=np.stack(grays),
     )
-    return output
+    return output, np.asarray(offsets)
 
 
 class RGBDDataset:

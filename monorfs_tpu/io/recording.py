@@ -105,6 +105,31 @@ def parse_measurements(text):
     return frames
 
 
+def serialize_sightings(frames):
+    """[(time, [label, ...])] -> 'time:l1 l2 ...' lines. Extension member
+    (sightings.out): true landmark association labels per measurement slot
+    (clutter = -2), aligned with measurements.out. The reference keeps
+    these only in memory (SimulatedVehicle labels the detections it
+    samples) so known-DA runs can't replay from its recordings; persisting
+    them makes `-i record` + DAAlgorithm Perfect work (chap4 S6/S8)."""
+    return "\n".join(
+        _g6(t) + ":" + " ".join(str(int(l)) for l in ls)
+        for t, ls in frames
+    )
+
+
+def parse_sightings(text):
+    frames = []
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        tpart, lpart = line.split(":", 1)
+        frames.append(
+            (float(tpart), [int(v) for v in lpart.split()])
+        )
+    return frames
+
+
 def serialize_tags(tags):
     return "\n".join(_g6(t) + " " + msg for t, msg in tags)
 
@@ -132,6 +157,10 @@ class Recording:
     measurements: List[Tuple[float, List[np.ndarray]]]
     tags: List[Tuple[float, str]]
     config_text: str
+    # true association labels per measurement (extension; [] when absent)
+    sightings: List[Tuple[float, List[int]]] = dataclasses.field(
+        default_factory=list
+    )
 
     def save(self, filename):
         with zipfile.ZipFile(filename, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -151,6 +180,10 @@ class Recording:
             )
             zf.writestr("tags.out", serialize_tags(self.tags))
             zf.writestr("config.cfg", self.config_text)
+            if self.sightings:
+                zf.writestr(
+                    "sightings.out", serialize_sightings(self.sightings)
+                )
 
     @classmethod
     def load(cls, filename) -> "Recording":
@@ -182,4 +215,5 @@ class Recording:
                 measurements=parse_measurements(read("measurements.out")),
                 tags=parse_tags(read("tags.out")),
                 config_text=read("config.cfg"),
+                sightings=parse_sightings(read("sightings.out")),
             )

@@ -73,6 +73,19 @@ class Model:
             )
         return self.fuzzy_visible
 
+    def visible_fn(self, depth_map=None):
+        """visible closed over the (possibly unused) depth map; with None,
+        depth-occlusion models fall back to pure frustum visibility (a
+        [1, 1] +inf map -- everything in the frustum counts as visible)."""
+        if self.uses_depth:
+            import jax.numpy as jnp
+
+            dm = (
+                jnp.full((1, 1), jnp.inf) if depth_map is None else depth_map
+            )
+            return lambda params, z: self.visible(params, z, dm)
+        return self.visible
+
     # -- SoA accessors with generic fallbacks ---------------------------------
 
     def measure_soa_fn(self):

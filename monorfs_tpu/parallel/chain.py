@@ -23,9 +23,12 @@ sequence-parallel axis:
     equivalent) are node-local and run on the owner shard;
   * the per-sweep shear gauge fix reduces with `psum`.
 
-With N=1 the halo is the scan carry itself and the sweep is EXACTLY the
-sequential one (tested); with N>1 the fixed point is unchanged and the
-sweeps converge to the same trajectories (tested on an 8-device mesh).
+With N=1 the halo is the scan carry itself and the sweep is numerically
+identical to the sequential one; with N>1 the fixed point is unchanged and
+the sweeps converge to the same error regime with a couple of extra sweeps
+for boundary staleness. Both claims are tested in tests/test_chain.py
+(N=1 parity to 1e-9; 4-device convergence on the virtual CPU mesh), and the
+dry run in __graft_entry__.dryrun_multichip exercises an 8-way sweep.
 """
 
 import jax
@@ -196,12 +199,13 @@ def _map_block(model, cfg, params, state: LoopyState, z, z_mask, temperature,
     fused_g = gather(state.fused_mean)
     z_g = gather(z)
     zm_g = gather(z_mask)
+    nm_g = gather(state.node_mask)
     map_poses = model.pose.add(lp_g, fused_g)
 
     if causal:
         # inherently sequential over T: replicated compute, local slice
         jmaps, jcovs, jvalids = loopy.causal_maps(
-            model, cfg, params, map_poses, z_g, zm_g
+            model, cfg, params, map_poses, z_g, zm_g, nm_g
         )
         jm_l = jax.lax.dynamic_slice_in_dim(jmaps, offset, tb)
         jc_l = jax.lax.dynamic_slice_in_dim(jcovs, offset, tb)
@@ -216,7 +220,7 @@ def _map_block(model, cfg, params, state: LoopyState, z, z_mask, temperature,
         my_blocks = jax.lax.axis_index(axis_name) * bl + jnp.arange(bl)
         jm, jc, jv = jax.vmap(
             lambda b: loopy.cavity_map_block(
-                model, cfg, params, map_poses, z_g, zm_g, b
+                model, cfg, params, map_poses, z_g, zm_g, b, nm_g
             )
         )(my_blocks)
         jmaps = gather(jm)  # [B, J, 3]

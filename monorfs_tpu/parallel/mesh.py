@@ -33,7 +33,8 @@ def state_sharding(mesh):
     particle = NamedSharding(mesh, P("particles"))
     replicated = NamedSharding(mesh, P())
     return PHDState(
-        pose=particle, logweight=particle, maps=particle, best=replicated
+        pose=particle, logweight=particle, maps=particle, best=replicated,
+        ancestor=particle,
     )
 
 
@@ -46,6 +47,7 @@ def shard_state(state, mesh):
         logweight=jax.device_put(state.logweight, sh.logweight),
         maps=jax.tree.map(lambda x: jax.device_put(x, sh.maps), state.maps),
         best=jax.device_put(state.best, sh.best),
+        ancestor=jax.device_put(state.ancestor, sh.ancestor),
     )
 
 

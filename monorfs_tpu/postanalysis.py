@@ -50,23 +50,58 @@ def map_estimates(rec):
     return out
 
 
-def best_trajectory(rec):
-    """Final pose estimate per frame (last waypoint of each estimate
-    snapshot)."""
+def estimate_series(rec, mode="filter"):
+    """Pose-estimate series per history mode (Plot.cs:325-340).
+
+    filter: the ONLINE estimate — frame i's trajectory evaluated at index i
+    (what the filter believed about 'now' at time i).
+    smooth: the FINAL frame's full trajectory (the retrospective estimate of
+    every past pose — this is where clone-on-resample genealogy and the
+    loopy smoother show up).
+    """
+    if mode == "smooth":
+        if not rec.estimate:
+            return []
+        return list(rec.estimate[-1][1])
     out = []
-    for t, traj in rec.estimate:
+    for i, (t, traj) in enumerate(rec.estimate):
         if traj:
-            out.append((t, traj[-1][1]))
+            out.append((t, traj[min(i, len(traj) - 1)][1]))
     return out
 
 
-def odometry_drift(rec, window=10):
+def best_trajectory(rec):
+    """Backwards-compatible alias: the filter-mode series."""
+    return estimate_series(rec, "filter")
+
+
+def timed_series(rec, internal):
+    """Timed history mode (Plot.cs:340-364): for every frame i, evaluate the
+    full error series of frame i's trajectory estimate and report its mean
+    from `startindex` on; startindex advances while the frame predates the
+    'SLAM mode on' tag (pre-SLAM mapping frames are pinned to groundtruth
+    and would dilute the mean)."""
+    slamtime = next(
+        (t for t, msg in rec.tags if "SLAM" in msg and "on" in msg), 0.0
+    )
+    out = []
+    startindex = 0
+    for t, traj in rec.estimate:
+        series = internal(traj)
+        vals = [v for _, v in series[startindex:]]
+        out.append((t, float(np.mean(vals)) if vals else 0.0))
+        if t < slamtime:
+            startindex += 1
+    return out
+
+
+def odometry_drift(rec, window=10, mode="filter"):
     """Pose-delta error over `window`-frame windows (Plot.cs:407-442):
     dead-reckoned displacement (and, for 7-state poses, delta-rotation
     angle) vs groundtruth. Returns (loc series, rot series)."""
     from .metrics.errors import _quat_angle
 
-    est = best_trajectory(rec)
+    est = estimate_series(rec, "filter" if mode == "timed" else mode)
     loc, rot = [], []
     for i in range(window, len(est)):
         t0, s0 = est[i - window]
@@ -103,14 +138,26 @@ def _quat_mul(a, b):
     )
 
 
-def analyze(rec: Recording, c: float = 1.0, p: float = 1.0):
-    est_traj = best_trajectory(rec)
+def analyze(rec: Recording, c: float = 1.0, p: float = 1.0,
+            mode: str = "timed"):
+    """Metrics suite; `mode` selects the trajectory history semantics
+    (filter / smooth / timed, Plot.cs:325-369 — timed is the reference
+    default, Program.cs:68)."""
     visited = visited_landmarks(rec)
     estimates = map_estimates(rec)
 
-    loc = ate_location(est_traj, rec.trajectory)
-    rot = ate_rotation(est_traj, rec.trajectory)
-    drift_loc, drift_rot = odometry_drift(rec)
+    if mode == "timed":
+        loc = timed_series(
+            rec, lambda traj: ate_location(traj, rec.trajectory)
+        )
+        rot = timed_series(
+            rec, lambda traj: ate_rotation(traj, rec.trajectory)
+        )
+    else:
+        est_traj = estimate_series(rec, mode)
+        loc = ate_location(est_traj, rec.trajectory)
+        rot = ate_rotation(est_traj, rec.trajectory)
+    drift_loc, drift_rot = odometry_drift(rec, mode=mode)
 
     map_err, map_spatial, map_card, sizes, realsizes = [], [], [], [], []
     for (t, est), (_, truth) in zip(estimates, visited):
@@ -155,7 +202,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     rec = Recording.load(args.file)
-    results = analyze(rec, c=args.ospa_c, p=args.ospa_p)
+    results = analyze(rec, c=args.ospa_c, p=args.ospa_p, mode=args.history)
     write_data_files(results, args.file)
     print(f"ATE loc RMSE: {rmse(results['loc']):.6g}")
     print(f"ATE rot RMSE: {rmse(results['rot']):.6g}")

@@ -129,6 +129,7 @@ class Simulation:
         self.waypoints = []  # (t, true pose)
         self.way_odometry = []  # (t, noisy odometry)
         self.way_measurements = []  # (t, [z])
+        self.way_sightings = []  # (t, [true label per z])
         self.way_maps = []  # (t, [(w, mean, cov)])
         self.way_vismaps = []  # (t, [(w, mean, cov)])
         self.frames = []  # per-frame dict: poses [P,S], parents [P], best
@@ -247,6 +248,15 @@ class Simulation:
         for k, zi in enumerate(zs[: self.max_meas]):
             z[k] = zi[:d]
         mask = np.arange(self.max_meas) < len(zs)
+        # true association labels recorded with the run (sightings.out) make
+        # known-DA (DAAlgorithm Perfect) work through record replay
+        labels = None
+        if i < len(rec.sightings):
+            ls = rec.sightings[i][1]
+            labels = np.full(self.max_meas, vehicle_mod.CLUTTER_LABEL,
+                             np.int32)
+            labels[: len(ls)] = ls[: self.max_meas]
+            labels = jnp.asarray(labels)
         lmax = self.vstate.landmarks.shape[0]
         visible = np.zeros(lmax, bool)
         detected = np.zeros(lmax, bool)
@@ -256,7 +266,7 @@ class Simulation:
             noisy,
             jnp.asarray(z),
             jnp.asarray(mask),
-            None,
+            labels,
             jnp.asarray(visible),
             jnp.asarray(detected),
         )
@@ -276,6 +286,7 @@ class Simulation:
             logweight=jnp.full((p,), -np.log(p), self.nstate.logweight.dtype),
             maps=best_map,
             best=jnp.int32(0),
+            ancestor=jnp.full((p,), best, jnp.int32),
         )
 
     def step(self, command: np.ndarray):
@@ -327,10 +338,10 @@ class Simulation:
             self.isam2.slam_update(list(zs), true_labels)
 
         if self.collect_history:
-            self._record(t, noisy, z, mask, visible, detected)
+            self._record(t, noisy, z, mask, labels, visible, detected)
         self.frame_index += 1
 
-    def _record(self, t, noisy, z, mask, visible, detected):
+    def _record(self, t, noisy, z, mask, labels, visible, detected):
         vpose = np.asarray(self.vstate.pose)
         self.waypoints.append((t, vpose.copy()))
         self.way_odometry.append((t, np.asarray(noisy).copy()))
@@ -338,6 +349,9 @@ class Simulation:
         self.way_measurements.append(
             (t, [zi[: self.model.meas_dim] for zi in zs])
         )
+        if labels is not None:
+            ls = np.asarray(labels)[np.asarray(mask)]
+            self.way_sightings.append((t, [int(l) for l in ls]))
 
         if self.replay is not None:
             # carry the recorded groundtruth visibility through
@@ -378,6 +392,7 @@ class Simulation:
                 {
                     "poses": np.asarray(self.nstate.pose).copy(),
                     "best": best,
+                    "parents": np.asarray(self.nstate.ancestor).copy(),
                 }
             )
         elif self.algorithm == "isam2":
@@ -479,17 +494,29 @@ class Simulation:
     # ------------------------------------------------------------------
 
     def estimate_history(self):
-        """Reconstruct (time, best-particle trajectory) per frame.
+        """Reconstruct (time, best-particle trajectory) per frame — the
+        EXACT clone-on-resample genealogy.
 
-        The reference clones particle WayPoints on resample; we rebuild the
-        same genealogy from the recorded per-frame particle poses. Resampled
-        histories are approximated by the best particle's own pose history
-        (exact when no resampling occurred between frames)."""
+        The reference clones each particle's WayPoints on resample
+        (Vehicle.cs:117-127 via TrackClone; ResampleParticles,
+        PHDNavigator.cs:724-760), so frame t's estimate is the best
+        particle's full inherited pose history. The per-frame ancestor
+        indices recorded by the filter reproduce it: walk parents backward
+        from the best particle of each frame.
+
+        NOTE: a particle's pose at the moment of resampling is COPIED to its
+        children, so the backward walk uses the pose stored at each earlier
+        frame under the ancestor chain."""
+        times = [w[0] for w in self.waypoints]
         out = []
-        traj = []
-        for t, frame in zip([w[0] for w in self.waypoints], self.frames):
-            traj.append((t, frame["poses"][frame["best"]]))
-            out.append((t, list(traj)))
+        for i, frame in enumerate(self.frames):
+            idx = frame["best"]
+            traj = [None] * (i + 1)
+            for s in range(i, -1, -1):
+                fs = self.frames[s]
+                traj[s] = (times[s], fs["poses"][idx])
+                idx = fs.get("parents", np.arange(len(fs["poses"])))[idx]
+            out.append((times[i], traj))
         return out
 
     def to_recording(self) -> Recording:
@@ -507,6 +534,7 @@ class Simulation:
             measurements=self.way_measurements,
             tags=self.tags,
             config_text=self.cfg.to_descriptor(),
+            sightings=self.way_sightings,
         )
 
     def save(self, filename):

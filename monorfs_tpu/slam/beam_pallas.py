@@ -14,7 +14,15 @@ lane-local: the per-lane top-B selection is an unrolled extract-max loop
 (max + argmax-via-iota + mask per slot), and the beam-source gather of the
 bitmask words is an unrolled select-sum over the B sublane rows -- no
 cross-lane communication anywhere, so the kernel is trivially correct under
-lane padding and scales linearly in particles.
+lane padding and scales linearly in particles. The grid tiles the lane axis
+(one program per 128-particle block), so VMEM use is independent of the
+particle count.
+
+The extract-max loop unrolls O(B) selection steps of O(B*(C+1)) vector work
+each -- quadratic in the beam width, where the XLA top_k is O(B log B). The
+kernel wins for the small beams the task needs (B<=64 reproduces the exact
+regime, BENCH.md); `recommended()` gates the auto-enable so huge-beam
+configs keep the XLA scan instead of compiling a pathological unroll.
 
 Semantically identical to association.beam_scan (parity-tested in
 tests/test_association.py via interpret mode); used only where no gradient
@@ -38,6 +46,18 @@ _LANES = 128
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def recommended(beam_width):
+    """Whether the fused kernel should auto-enable for this beam size.
+
+    The in-kernel top-B is an unrolled extract-max loop: O(B) selection
+    steps of O(B*(C+1)) vector work, i.e. quadratic in B where lax.top_k is
+    O(B log B). B<=64 reproduces the exact-regime task metrics (BENCH.md)
+    and is where the kernel measured faster; beyond that the unroll inflates
+    both compile time and per-step work, so callers should keep the XLA
+    scan."""
+    return beam_width <= 64
 
 
 def _beam_kernel(od_ref, wk_ref, bk_ref, base_ref, out_ref, *, beam_width,
@@ -74,7 +94,11 @@ def _beam_kernel(od_ref, wk_ref, bk_ref, base_ref, out_ref, *, beam_width,
         clut = scores[:, None, :] + dk[0:1][None, :, :]
         cand = jnp.concatenate([clut, land], axis=1).reshape(b * c1, p)
 
-        # per-lane top-B extract-max loop (sorted descending, like top_k)
+        # per-lane top-B extract-max loop (sorted descending, like top_k).
+        # Extracted entries are masked with -inf (NOT NEG): real candidates
+        # can legitimately score below NEG (dead slot + used candidate), and
+        # a NEG mask could shadow them -- -inf keeps the ordering identical
+        # to lax.top_k in every case.
         new_scores = jnp.full((b, p), NEG, dtype)
         sel_idx = jnp.zeros((b, p), jnp.int32)
         work = cand
@@ -84,7 +108,7 @@ def _beam_kernel(od_ref, wk_ref, bk_ref, base_ref, out_ref, *, beam_width,
                 jnp.where(work == mx, flat_iota, b * c1), axis=0,
                 keepdims=True,
             )  # [1, P]
-            work = jnp.where(flat_iota == idx, NEG, work)
+            work = jnp.where(flat_iota == idx, -jnp.inf, work)
             new_scores = jnp.where(row_b == i, mx, new_scores)
             sel_idx = jnp.where(row_b == i, idx, sel_idx)
 
@@ -147,11 +171,26 @@ def beam_scan_batch(base, opt_delta, word_k, bit_k, beam_width, n_words,
         n_steps=m,
         n_cand=c1 - 1,
     )
+    # grid over 128-lane particle tiles: VMEM per program is bounded by the
+    # tile (the [M, C+1, 128] inputs + the [B*(C+1), 128] work tensor),
+    # independent of the particle count
+    c = c1 - 1
     out = pl.pallas_call(
         kernel,
+        grid=(pp // _LANES,),
         out_shape=jax.ShapeDtypeStruct((beam_width, pp), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec((m, c1, _LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, c, _LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, c, _LANES), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANES), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((beam_width, _LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(od, wk, bk, bs)
     return out[:, :p].T  # [P, B]

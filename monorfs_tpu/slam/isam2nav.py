@@ -10,9 +10,25 @@ landmarks after NewLandmarkThreshold consecutive sightings and are culled
 when unseen. The backend is the batched Gauss-Newton Schur solver in
 graph.py instead of the gtsam Bayes tree.
 
-Association runs on host (tiny problem, one Hungarian per frame, exactly as
-the reference does on CPU); the solve + marginal covariances are one jitted
-device computation.
+Performance layout (replacing the round-1 per-landmark host loop):
+
+  * the association quantities (visibility, gated log-profit rows for all
+    landmarks and candidates, measurement back-projections) are ONE jitted
+    device computation per frame; only the tiny Hungarian assignment and the
+    candidate lifecycle run on host (exactly the reference's CPU split);
+  * the factor arrays live in host numpy mirrors (one bulk device transfer
+    per frame instead of one per factor);
+  * solves are shape-bucketed: the dense normal equations are sized to the
+    next power of two of the ACTIVE pose/factor/landmark counts, so early
+    frames don't pay the full-capacity O((T_cap O)^3) Cholesky
+    (a handful of jit specializations over a run);
+  * steady-state frames run 1 warm-started GN iteration (the previous
+    estimate is the linearization point — the iSAM2 analogue of reusing the
+    Bayes tree, isam2.cpp:245); every `full_solve_every` frames (and
+    whenever a bucket grows) a full gn_iters re-solve relinearizes
+    everything. Marginal covariances are refreshed every frame in
+    Mahalanobis mode (the gate needs them, isam2.cpp:258-312) and only on
+    full solves otherwise.
 """
 
 import dataclasses
@@ -26,12 +42,21 @@ from ..metrics.errors import hungarian
 from . import graph
 
 CLUTTER = -9999
+NEG = -1e20
+
+
+def _pow2_at_least(n, lo, hi):
+    c = lo
+    while c < n:
+        c *= 2
+    return min(c, hi)
 
 
 class ISAM2Navigator:
     def __init__(self, model, cfg, init_pose, max_poses=512,
                  max_landmarks=256, meas_per_frame=24, onlymapping=False,
-                 dtype=np.float64, da_algorithm=None):
+                 dtype=np.float64, da_algorithm=None, full_solve_every=8,
+                 cand_cap=128):
         self.model = model
         self.cfg = cfg
         self.dtype = dtype
@@ -41,13 +66,32 @@ class ISAM2Navigator:
         self.new_landmark_threshold = cfg.new_landmark_threshold
         self.pd = cfg.detection_probability
         self.clutter_density = max(cfg.navigator_clutter_density, 1e-30)
+        self.full_solve_every = full_solve_every
 
-        self.gcfg = graph.GraphConfig(
-            max_poses=max_poses,
-            max_landmarks=max_landmarks,
-            max_factors=max_poses * meas_per_frame,
-        )
-        self.state = graph.empty_state(model, self.gcfg, init_pose, dtype)
+        self.max_poses = max_poses
+        self.max_landmarks = max_landmarks
+        self.max_factors = max_poses * meas_per_frame
+        self.meas_per_frame = meas_per_frame
+        self.cand_cap = cand_cap
+
+        s = model.pose.state_dim
+        o = model.pose.odo_dim
+        d = model.meas_dim
+        self.meas_dim = d
+
+        # host mirrors of the graph (bulk-uploaded per frame)
+        self.poses_np = np.tile(np.asarray(init_pose, dtype), (max_poses, 1))
+        self.n_poses = 1
+        self.landmarks_np = np.zeros((max_landmarks, 3), dtype)
+        self.lm_mask_np = np.zeros(max_landmarks, bool)
+        self.between_np = np.zeros((max_poses, o), dtype)
+        self.between_mask_np = np.zeros(max_poses, bool)
+        self.pose_fixed_np = np.zeros(max_poses, bool)
+        self.pose_fixed_np[0] = True
+        self.f_pose_np = np.zeros(self.max_factors, np.int32)
+        self.f_lm_np = np.zeros(self.max_factors, np.int32)
+        self.f_z_np = np.zeros((self.max_factors, d), dtype)
+        self.f_mask_np = np.zeros(self.max_factors, bool)
         self.n_factors = 0
 
         # diagonal noise like the reference bridge (ISAM2Navigator.cs:140-150)
@@ -58,24 +102,16 @@ class ISAM2Navigator:
         self.meas_info = jnp.asarray(np.diag(1.0 / meas_sigma**2), dtype)
         self.meas_cov = jnp.asarray(np.diag(meas_sigma**2), dtype)
 
-        self._solve = jax.jit(
-            lambda st: graph.gauss_newton(
-                model, self.gcfg, st, self.motion_info, self.meas_info
-            )
-        )
-        self._marginals = jax.jit(
-            lambda st: graph.marginals(
-                model, self.gcfg, st, self.motion_info, self.meas_info,
-                self.meas_cov,
-            )
-        )
+        self._solvers = {}
+        self._marginal_fns = {}
+        self._assoc_fn = None
+        self._last_full_solve = -1
 
         self.pose = np.asarray(init_pose, dtype)
-        self.dead_reckon = np.asarray(init_pose, dtype)
         self.lm_cov = np.zeros((max_landmarks, 3, 3))
         self.pl_cov = np.tile(np.asarray(self.meas_cov), (max_landmarks, 1, 1))
         self.next_label = 0
-        # candidates: [mean(3), count]
+        # candidates: fixed-capacity arrays for the jitted association
         self.cand_mean: List[np.ndarray] = []
         self.cand_count: List[int] = []
 
@@ -95,19 +131,61 @@ class ISAM2Navigator:
 
     # ------------------------------------------------------------------
 
-    def _measure_np(self, pose, lm):
-        return np.asarray(
-            self.model.measure(
-                self.model.params, jnp.asarray(pose), jnp.asarray(lm)
-            )
-        )
+    def _build_assoc(self):
+        """One jitted computation of every per-frame association quantity
+        (replaces the round-1 per-landmark host loop): landmark visibility,
+        gated log-profit rows vs all measurements for landmarks and
+        candidates, and measurement back-projections."""
+        model = self.model
+        mahalanobis = self.da_algorithm == "Mahalanobis"
+        log_pd = np.log(self.pd)
+        thr2 = float(self.match_threshold) ** 2
+        d = self.meas_dim
 
-    def _to_map_np(self, pose, z):
-        return np.asarray(
-            self.model.to_map(
-                self.model.params, jnp.asarray(pose), jnp.asarray(z)
-            )
-        )
+        def profit_rows(means, covs, targets, t_mask):
+            """Gated log-profit of N (mean, cov) sources vs M targets."""
+            ci = jnp.linalg.inv(covs)
+            sign, logdet = jnp.linalg.slogdet(covs)
+            logmult = -0.5 * (d * np.log(2 * np.pi) + logdet)  # [N]
+            diff = targets[None, :, :] - means[:, None, :]  # [N, M, D]
+            d2 = jnp.einsum("nmd,nde,nme->nm", diff, ci, diff)
+            prof = log_pd + logmult[:, None] - 0.5 * d2
+            return jnp.where((d2 < thr2) & t_mask[None, :], prof, NEG)
+
+        visible = model.visible_fn()  # frustum visibility (depth-occlusion
+        # models gate association without the live depth map; the map factor
+        # update itself still uses the occlusion-aware fuzzy visibility)
+
+        def assoc(pose, lms, lm_mask, pl_cov, cand, cand_mask, z, z_mask):
+            pose_b = pose[None, :]
+            mu_l = model.measure(model.params, pose_b, lms)  # [L, D]
+            vis = jax.vmap(
+                lambda m: visible(model.params, m)
+            )(mu_l) & lm_mask
+            backproj = model.to_map(model.params, pose_b, z)  # [M, 3]
+            mu_c = model.measure(model.params, pose_b, cand)  # [C, D]
+            r = self.meas_cov
+            if mahalanobis:
+                prof_l = profit_rows(mu_l, pl_cov, z, z_mask)
+                prof_c = profit_rows(
+                    mu_c, jnp.broadcast_to(r, (cand.shape[0],) + r.shape),
+                    z, z_mask,
+                )
+            else:  # NN: distances in map space, tiny fixed covariance
+                nn_cov = 0.001 * jnp.eye(3, dtype=lms.dtype)
+                prof_l = profit_rows(
+                    lms, jnp.broadcast_to(nn_cov, (lms.shape[0], 3, 3)),
+                    backproj, z_mask,
+                )
+                prof_c = profit_rows(
+                    cand, jnp.broadcast_to(nn_cov, (cand.shape[0], 3, 3)),
+                    backproj, z_mask,
+                )
+            prof_l = jnp.where(vis[:, None], prof_l, NEG)
+            prof_c = jnp.where(cand_mask[:, None], prof_c, NEG)
+            return vis, prof_l, prof_c, backproj
+
+        return jax.jit(assoc)
 
     def find_labels(self, measurements, true_labels=None):
         """FindLabels (ISAM2Navigator.cs:256-441). Returns one label per
@@ -117,75 +195,51 @@ class ISAM2Navigator:
                 raise RuntimeError(
                     "Tried to use perfect data association when none exists."
                 )
-            labels = []
-            for lab in true_labels:
-                labels.append(lab if lab >= 0 else CLUTTER)
-            return labels
+            return [lab if lab >= 0 else CLUTTER for lab in true_labels]
 
-        st = self.state
-        lm_mask = np.asarray(st.lm_mask)
-        lms = np.asarray(st.landmarks)
+        if self._assoc_fn is None:
+            self._assoc_fn = self._build_assoc()
+
         m = len(measurements)
+        d = self.meas_dim
+        z = np.zeros((self.meas_per_frame, d), self.dtype)
+        z_mask = np.zeros(self.meas_per_frame, bool)
+        for k, zi in enumerate(measurements[: self.meas_per_frame]):
+            z[k] = np.asarray(zi)[:d]
+            z_mask[k] = True
 
-        visible_idx = [
-            i
-            for i in range(len(lms))
-            if lm_mask[i]
-            and bool(
-                self.model.visible(
-                    self.model.params,
-                    jnp.asarray(self._measure_np(self.pose, lms[i])),
-                )
-            )
-        ]
-        nv = len(visible_idx)
         nc = len(self.cand_mean)
-        n = nv + nc
+        cand = np.zeros((self.cand_cap, 3), self.dtype)
+        cand_mask = np.zeros(self.cand_cap, bool)
+        for k, c in enumerate(self.cand_mean[: self.cand_cap]):
+            cand[k] = c
+            cand_mask[k] = True
 
+        vis, prof_l, prof_c, backproj = self._assoc_fn(
+            jnp.asarray(self.pose), jnp.asarray(self.landmarks_np),
+            jnp.asarray(self.lm_mask_np), jnp.asarray(self.pl_cov, self.dtype),
+            jnp.asarray(cand), jnp.asarray(cand_mask), jnp.asarray(z),
+            jnp.asarray(z_mask),
+        )
+        vis = np.asarray(vis)
+        prof_l = np.asarray(prof_l)
+        prof_c = np.asarray(prof_c)
+        self._backproj = np.asarray(backproj)
+
+        visible_idx = np.flatnonzero(vis)
+        nv = len(visible_idx)
+        n = nv + nc
         log_pd = np.log(self.pd)
         log_clutter = np.log(self.clutter_density)
-        mahalanobis = self.da_algorithm == "Mahalanobis"
-
-        means = []
-        covs = []
-        for i in visible_idx:
-            if mahalanobis:
-                means.append(self._measure_np(self.pose, lms[i]))
-                covs.append(self.pl_cov[i])
-            else:
-                means.append(lms[i])
-                covs.append(0.001 * np.eye(3))
-        r = np.asarray(self.meas_cov)
-        for c in self.cand_mean:
-            if mahalanobis:
-                means.append(self._measure_np(self.pose, c))
-                covs.append(r)
-            else:
-                means.append(c)
-                covs.append(0.001 * np.eye(3))
 
         size = n + m
-        neg = -1e20
-        profit = np.full((size, size), neg)
-        thr2 = self.match_threshold**2
-        for i in range(n):
-            ci = np.linalg.inv(covs[i])
-            logmult = -0.5 * (
-                len(means[i]) * np.log(2 * np.pi)
-                + np.linalg.slogdet(covs[i])[1]
-            )
-            for k in range(m):
-                if mahalanobis:
-                    diff = np.asarray(measurements[k]) - means[i]
-                else:
-                    diff = self._to_map_np(self.pose, measurements[k]) - means[i]
-                d2 = diff @ ci @ diff
-                if d2 < thr2:
-                    profit[i, k] = log_pd + logmult - 0.5 * d2
-        for i in range(n):
-            profit[i, m + i] = log_pd
-        for i in range(m):
-            profit[n + i, i] = log_clutter
+        profit = np.full((size, size), NEG)
+        if nv:
+            profit[:nv, :m] = prof_l[visible_idx][:, :m]
+        if nc:
+            profit[nv:n, :m] = prof_c[:nc, :m]
+        profit[np.arange(n), m + np.arange(n)] = log_pd
+        profit[n + np.arange(m), np.arange(m)] = log_clutter
         profit[n:, m:] = 0.0  # misdetection x clutter quadrant
 
         assignment = hungarian(-profit)
@@ -194,7 +248,7 @@ class ISAM2Navigator:
         keep = [False] * nc
         for i in range(nv):
             if assignment[i] < m:
-                labels[assignment[i]] = visible_idx[i]
+                labels[assignment[i]] = int(visible_idx[i])
         for i in range(nv, n):
             if assignment[i] < m:
                 k = i - nv
@@ -202,8 +256,7 @@ class ISAM2Navigator:
                 labels[zi] = -k - 1
                 w = self.cand_count[k]
                 self.cand_mean[k] = (
-                    self.cand_mean[k] * w
-                    + self._to_map_np(self.pose, measurements[zi])
+                    self.cand_mean[k] * w + self._backproj[zi]
                 ) / (w + 1)
                 self.cand_count[k] = w + 1
                 if self.cand_count[k] >= self.new_landmark_threshold:
@@ -216,10 +269,8 @@ class ISAM2Navigator:
                 if self.new_landmark_threshold <= 1:
                     labels[i] = self.next_label
                     self.next_label += 1
-                else:
-                    self.cand_mean.append(
-                        self._to_map_np(self.pose, measurements[i])
-                    )
+                elif len(self.cand_mean) < self.cand_cap:
+                    self.cand_mean.append(self._backproj[i].copy())
                     self.cand_count.append(1)
                     keep.append(True)
         self.cand_mean = [c for c, k in zip(self.cand_mean, keep) if k]
@@ -227,6 +278,51 @@ class ISAM2Navigator:
         return labels
 
     # ------------------------------------------------------------------
+
+    def _bucket_state(self):
+        """Slice the host mirrors to power-of-two active capacities and
+        build the device GraphState + its bucket GraphConfig."""
+        t_cap = _pow2_at_least(self.n_poses + 1, 8, self.max_poses)
+        f_cap = _pow2_at_least(self.n_factors + 1, 32, self.max_factors)
+        l_cap = _pow2_at_least(max(self.next_label, 1), 8, self.max_landmarks)
+        cfg = graph.GraphConfig(
+            max_poses=t_cap, max_landmarks=l_cap, max_factors=f_cap,
+        )
+        st = graph.GraphState(
+            poses=jnp.asarray(self.poses_np[:t_cap]),
+            n_poses=jnp.int32(self.n_poses),
+            landmarks=jnp.asarray(self.landmarks_np[:l_cap]),
+            lm_mask=jnp.asarray(self.lm_mask_np[:l_cap]),
+            between=jnp.asarray(self.between_np[:t_cap]),
+            between_mask=jnp.asarray(self.between_mask_np[:t_cap]),
+            pose_fixed=jnp.asarray(self.pose_fixed_np[:t_cap]),
+            f_pose=jnp.asarray(self.f_pose_np[:f_cap]),
+            f_lm=jnp.asarray(self.f_lm_np[:f_cap]),
+            f_z=jnp.asarray(self.f_z_np[:f_cap]),
+            f_mask=jnp.asarray(self.f_mask_np[:f_cap]),
+        )
+        return cfg, st, (t_cap, f_cap, l_cap)
+
+    def _solver_for(self, cfg, key, iters):
+        k = key + (iters,)
+        if k not in self._solvers:
+            bcfg = dataclasses.replace(cfg, gn_iters=iters)
+            self._solvers[k] = jax.jit(
+                lambda st: graph.gauss_newton(
+                    self.model, bcfg, st, self.motion_info, self.meas_info
+                )
+            )
+        return self._solvers[k]
+
+    def _marginals_for(self, cfg, key):
+        if key not in self._marginal_fns:
+            self._marginal_fns[key] = jax.jit(
+                lambda st: graph.marginals(
+                    self.model, cfg, st, self.motion_info, self.meas_info,
+                    self.meas_cov,
+                )
+            )
+        return self._marginal_fns[key]
 
     def slam_update(self, measurements, true_labels=None):
         """Add the frame's factors and re-solve (ISAM2Navigator.cs:192-248).
@@ -249,78 +345,101 @@ class ISAM2Navigator:
         else:
             labels = self.find_labels(measurements)
 
-        st = self.state
-        t = int(st.n_poses)
-        if t >= self.gcfg.max_poses:
+        t = self.n_poses
+        if t >= self.max_poses:
             raise RuntimeError("graph pose capacity exceeded")
 
-        prev = np.asarray(st.poses[t - 1])
+        prev = self.poses_np[t - 1]
         delta = np.asarray(
             self.model.pose.diff_odometry(
                 jnp.asarray(self.pose), jnp.asarray(prev)
             )
         )
-        poses = st.poses.at[t].set(jnp.asarray(self.pose, self.dtype))
-        between = st.between.at[t].set(jnp.asarray(delta, self.dtype))
-        between_mask = st.between_mask.at[t].set(True)
-        pose_fixed = st.pose_fixed
+        self.poses_np[t] = self.pose
+        self.between_np[t] = delta
+        self.between_mask_np[t] = True
         if self.onlymapping:
-            pose_fixed = pose_fixed.at[t].set(True)
+            self.pose_fixed_np[t] = True
 
-        landmarks = st.landmarks
-        lm_mask = st.lm_mask
-        f_pose, f_lm, f_z, f_mask = st.f_pose, st.f_lm, st.f_z, st.f_mask
+        new_landmark = False
         for z, lab in zip(measurements, labels):
             if lab < 0:
                 continue
-            if lab >= self.gcfg.max_landmarks:
+            if lab >= self.max_landmarks:
                 # capacity reached: drop the factor (the reference would
                 # abort on gtsam failure; a bounded map is the TPU-native
                 # contract -- size max_landmarks to the scene)
                 continue
-            if not bool(lm_mask[lab]):
-                landmarks = landmarks.at[lab].set(
-                    jnp.asarray(self._to_map_np(self.pose, z), self.dtype)
+            if not self.lm_mask_np[lab]:
+                self.landmarks_np[lab] = np.asarray(
+                    self.model.to_map(
+                        self.model.params, jnp.asarray(self.pose),
+                        jnp.asarray(np.asarray(z)[: self.meas_dim],
+                                    self.dtype),
+                    )
                 )
-                lm_mask = lm_mask.at[lab].set(True)
+                self.lm_mask_np[lab] = True
+                new_landmark = True
             fi = self.n_factors
-            if fi >= self.gcfg.max_factors:
+            if fi >= self.max_factors:
                 continue  # factor budget exhausted; drop extra observations
-            f_pose = f_pose.at[fi].set(t)
-            f_lm = f_lm.at[fi].set(lab)
-            f_z = f_z.at[fi].set(jnp.asarray(z, self.dtype))
-            f_mask = f_mask.at[fi].set(True)
+            self.f_pose_np[fi] = t
+            self.f_lm_np[fi] = lab
+            self.f_z_np[fi] = np.asarray(z)[: self.meas_dim]
+            self.f_mask_np[fi] = True
             self.n_factors += 1
 
-        self.state = graph.GraphState(
-            poses=poses,
-            n_poses=jnp.int32(t + 1),
-            landmarks=landmarks,
-            lm_mask=lm_mask,
-            between=between,
-            between_mask=between_mask,
-            pose_fixed=pose_fixed,
-            f_pose=f_pose,
-            f_lm=f_lm,
-            f_z=f_z,
-            f_mask=f_mask,
-        )
+        self.n_poses = t + 1
+        cfg, st, key = self._bucket_state()
 
-        self.state = self._solve(self.state)
-        lm_cov, pl_cov = self._marginals(self.state)
-        self.lm_cov = np.asarray(lm_cov)
-        self.pl_cov = np.asarray(pl_cov)
-        self.pose = np.asarray(self.state.poses[t])
+        full = (
+            new_landmark
+            or t - self._last_full_solve >= self.full_solve_every
+            or getattr(self, "_last_bucket", None) != key
+        )
+        self._last_bucket = key
+        iters = cfg.gn_iters if full else 1
+        if full:
+            self._last_full_solve = t
+        st = self._solver_for(cfg, key, iters)(st)
+
+        t_cap, f_cap, l_cap = key
+        self.poses_np[:t_cap] = np.asarray(st.poses)
+        self.landmarks_np[:l_cap] = np.asarray(st.landmarks)
+        self.pose = self.poses_np[t].copy()
+
+        # marginals: every frame for the Mahalanobis gate, otherwise only on
+        # relinearization frames (visualization covariances)
+        if self.da_algorithm == "Mahalanobis" or full:
+            lm_cov, pl_cov = self._marginals_for(cfg, key)(st)
+            self.lm_cov[:l_cap] = np.asarray(lm_cov)
+            self.pl_cov[:l_cap] = np.asarray(pl_cov)
         return labels
 
     # ------------------------------------------------------------------
 
     @property
+    def state(self):
+        """Full-capacity GraphState view (compat for direct inspection)."""
+        return graph.GraphState(
+            poses=jnp.asarray(self.poses_np),
+            n_poses=jnp.int32(self.n_poses),
+            landmarks=jnp.asarray(self.landmarks_np),
+            lm_mask=jnp.asarray(self.lm_mask_np),
+            between=jnp.asarray(self.between_np),
+            between_mask=jnp.asarray(self.between_mask_np),
+            pose_fixed=jnp.asarray(self.pose_fixed_np),
+            f_pose=jnp.asarray(self.f_pose_np),
+            f_lm=jnp.asarray(self.f_lm_np),
+            f_z=jnp.asarray(self.f_z_np),
+            f_mask=jnp.asarray(self.f_mask_np),
+        )
+
+    @property
     def trajectory(self):
-        n = int(self.state.n_poses)
-        return np.asarray(self.state.poses[:n])
+        return self.poses_np[: self.n_poses].copy()
 
     @property
     def map_estimate(self):
-        mask = np.asarray(self.state.lm_mask)
-        return np.asarray(self.state.landmarks)[mask], self.lm_cov[mask]
+        mask = self.lm_mask_np
+        return self.landmarks_np[mask].copy(), self.lm_cov[mask]

@@ -390,12 +390,39 @@ def backward_sweep(model, state: LoopyState, odometry, motion_cov):
 # cavity maps (leave-block-out FilterMissing replacement)
 
 
+def _masked_frame_step(model, icfg, params, map_poses_dtype, step, key):
+    """Mapping-PHD frame update that is fully inert on INVALID frames
+    (padded trajectory slots past n_nodes).
+
+    A padded frame must be skipped as a whole, not just its measurements:
+    even with an all-false z_mask the correct stage applies the (1 - PD)
+    misdetection reweight to every visible component, so a padded slot
+    (whose pose copies the last node) would spuriously thin the map around
+    the trajectory end — measured as a 0.16 -> 0.24 ATE regression when
+    max_nodes > n_nodes. Cavity-EXCLUDED frames, by contrast, only drop
+    their measurements (mask_t=False) and keep the misdetection update:
+    the cavity property only needs node t's detections out of its own map
+    message, and dropping a whole block's misdetection evidence (1/B of all
+    frames — the reference's FilterMissing drops a single frame,
+    LoopyPHDNavigator.cs:729-763) measurably degrades the fit."""
+
+    def frame_step(st, pose_t, z_t, mask_t, valid_t):
+        st2 = step(params, st, jnp.zeros((model.pose.odo_dim,),
+                                         map_poses_dtype),
+                   z_t, mask_t, key, true_pose=pose_t)
+        return jax.tree.map(
+            lambda a, b: jnp.where(valid_t, a, b), st2, st
+        )
+
+    return frame_step
+
+
 def cavity_map_block(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
-                     block_id):
+                     block_id, node_mask=None):
     """One leave-block-out mapping-PHD pass over the trajectory, excluding
-    the frames with t % cfg.blocks == block_id. Factored out so the
-    chain-sharded sweep (parallel/chain.py) can distribute the B passes
-    over the mesh."""
+    the measurements of frames with t % cfg.blocks == block_id (and skipping
+    masked padding nodes entirely). Factored out so the chain-sharded sweep
+    (parallel/chain.py) can distribute the B passes over the mesh."""
     b = cfg.blocks
     t = map_poses.shape[0]
     icfg = cfg.inner
@@ -404,36 +431,38 @@ def cavity_map_block(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
         model, icfg, jnp.zeros_like(map_poses[0]), map_poses.dtype
     )
     key = jax.random.PRNGKey(0)
+    if node_mask is None:
+        node_mask = jnp.ones((t,), bool)
+    fstep = _masked_frame_step(model, icfg, params, map_poses.dtype, step, key)
 
     def frame(st, inputs):
-        pose_t, z_t, mask_t, tidx = inputs
+        pose_t, z_t, mask_t, tidx, nmask_t = inputs
         excluded = (tidx % b) == block_id
-        mask_eff = mask_t & ~excluded
-        st2 = step(params, st, jnp.zeros((model.pose.odo_dim,),
-                                         map_poses.dtype),
-                   z_t, mask_eff, key, true_pose=pose_t)
-        return st2, None
+        return fstep(st, pose_t, z_t, mask_t & ~excluded, nmask_t), None
 
     st, _ = jax.lax.scan(
-        frame, state0, (map_poses, z, z_mask, jnp.arange(t))
+        frame, state0, (map_poses, z, z_mask, jnp.arange(t), node_mask)
     )
     gm = GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
     jidx, jvalid = mixture.best_map_indices(gm.logw, cfg.jmap_cap)
     return gm.mean[jidx], gm.cov[jidx], jvalid
 
 
-def cavity_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask):
+def cavity_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
+                node_mask=None):
     """Run B mapping-PHD passes over the trajectory, pass b excluding the
     frames with t % B == b. Returns per-block jmap means [B, J, 3] + valid.
 
     One vmapped lax.scan: O(B*T) total work replacing the reference's O(T^2)
     FilterMissing (:729-763)."""
     return jax.vmap(
-        lambda b: cavity_map_block(model, cfg, params, map_poses, z, z_mask, b)
+        lambda b: cavity_map_block(model, cfg, params, map_poses, z, z_mask,
+                                   b, node_mask)
     )(jnp.arange(cfg.blocks))
 
 
-def causal_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask):
+def causal_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
+                node_mask=None):
     """First-pass cavity maps: node t sees the map filtered over frames
     0..t-1 only (the reference's growing `tofilter = clock + 1` schedule,
     :375 + :729-763). This anchors the gauge to the trajectory start before
@@ -446,20 +475,20 @@ def causal_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask):
         model, icfg, jnp.zeros_like(map_poses[0]), map_poses.dtype
     )
     key = jax.random.PRNGKey(0)
+    if node_mask is None:
+        node_mask = jnp.ones((t,), bool)
+    fstep = _masked_frame_step(model, icfg, params, map_poses.dtype, step, key)
 
     def frame(st, inputs):
-        pose_t, z_t, mask_t = inputs
+        pose_t, z_t, mask_t, nmask_t = inputs
         # snapshot BEFORE processing frame t: map of frames 0..t-1
         gm = GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
         jidx, jvalid = mixture.best_map_indices(gm.logw, cfg.jmap_cap)
         out = (gm.mean[jidx], gm.cov[jidx], jvalid)
-        st2 = step(params, st, jnp.zeros((model.pose.odo_dim,),
-                                         map_poses.dtype),
-                   z_t, mask_t, key, true_pose=pose_t)
-        return st2, out
+        return fstep(st, pose_t, z_t, mask_t, nmask_t), out
 
     _, (jmaps, jcovs, jvalids) = jax.lax.scan(
-        frame, state0, (map_poses, z, z_mask)
+        frame, state0, (map_poses, z, z_mask, node_mask)
     )
     return jmaps, jcovs, jvalids
 
@@ -628,12 +657,12 @@ def map_sweep(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask,
     t = state.lp.shape[0]
     if causal:
         jmaps, jcovs, jvalids = causal_maps(
-            model, cfg, params, map_poses, z, z_mask
+            model, cfg, params, map_poses, z, z_mask, state.node_mask
         )
         block_ids = jnp.arange(t)
     else:
         jmaps, jcovs, jvalids = cavity_maps(
-            model, cfg, params, map_poses, z, z_mask
+            model, cfg, params, map_poses, z, z_mask, state.node_mask
         )
         block_ids = jnp.arange(t) % cfg.blocks
 
@@ -748,13 +777,13 @@ def trajectory_objective(model, cfg: LoopyConfig, params, state: LoopyState,
     step = phd.make_slam_step(model, icfg, slam=False)
     st0 = phd.init_state(model, icfg, jnp.zeros_like(poses[0]), poses.dtype)
     key = jax.random.PRNGKey(0)
+    fstep = _masked_frame_step(model, icfg, params, poses.dtype, step, key)
 
     def frame(st, inputs):
-        pose_t, z_t, m_t = inputs
-        return step(params, st, jnp.zeros((model.pose.odo_dim,), poses.dtype),
-                    z_t, m_t, key, true_pose=pose_t), None
+        pose_t, z_t, m_t, nmask_t = inputs
+        return fstep(st, pose_t, z_t, m_t, nmask_t), None
 
-    st, _ = jax.lax.scan(frame, st0, (poses, z, z_mask))
+    st, _ = jax.lax.scan(frame, st0, (poses, z, z_mask, state.node_mask))
     gm = GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
     jidx, jvalid = mixture.best_map_indices(gm.logw, cfg.jmap_cap)
     jm, jc = gm.mean[jidx], gm.cov[jidx]
@@ -782,11 +811,11 @@ def final_map(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask):
     step = phd.make_slam_step(model, icfg, slam=False)
     state0 = phd.init_state(model, icfg, jnp.zeros_like(poses[0]), poses.dtype)
     key = jax.random.PRNGKey(0)
+    fstep = _masked_frame_step(model, icfg, params, poses.dtype, step, key)
 
     def frame(st, inputs):
-        pose_t, z_t, mask_t = inputs
-        return step(params, st, jnp.zeros((model.pose.odo_dim,), poses.dtype),
-                    z_t, mask_t, key, true_pose=pose_t), None
+        pose_t, z_t, mask_t, nmask_t = inputs
+        return fstep(st, pose_t, z_t, mask_t, nmask_t), None
 
-    st, _ = jax.lax.scan(frame, state0, (poses, z, z_mask))
+    st, _ = jax.lax.scan(frame, state0, (poses, z, z_mask, state.node_mask))
     return GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])

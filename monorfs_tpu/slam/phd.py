@@ -49,6 +49,13 @@ from ..gm.mixture import ALIVE_THRESHOLD, DEAD, GM, SGM
 from . import association, beam_pallas
 
 
+def _exact_dot(a, b):
+    """One-hot gathers as matmuls must run at full f32 precision: the TPU
+    default may execute f32 dots as bf16 MXU passes, truncating the gathered
+    means/measurements to ~3 significant digits."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 @dataclasses.dataclass(frozen=True)
 class PHDConfig:
     """Static shape/algorithm configuration (jit-specializing)."""
@@ -94,6 +101,11 @@ class PHDState(NamedTuple):
     logweight: jax.Array  # [P]
     maps: SGM  # SoA mixture, leaves [P, K]
     best: jax.Array  # scalar int32
+    ancestor: jax.Array  # [P] int32: source slot of each particle at the
+    # LAST step (identity when no resample fired). The reference clones each
+    # particle's WayPoints on resample (Vehicle.cs:117-127 + TrackClone);
+    # recording the ancestry instead lets the driver reconstruct the exact
+    # cloned trajectory genealogy for estimate.out.
 
 
 def init_state(model, cfg: PHDConfig, init_pose, dtype=jnp.float32):
@@ -104,6 +116,7 @@ def init_state(model, cfg: PHDConfig, init_pose, dtype=jnp.float32):
         logweight=jnp.full((p,), -jnp.log(float(p)), dtype),
         maps=mixture.empty_soa(cfg.max_components, dtype, batch=(p,)),
         best=jnp.int32(0),
+        ancestor=jnp.arange(p, dtype=jnp.int32),
     )
 
 
@@ -249,7 +262,7 @@ def _correct_prune_soa(model, cfg, params, fns, pose, pred: SGM, zl, z_mask):
     onehot = (
         comp[:, None] == jnp.arange(kp, dtype=jnp.int32)[None, :]
     ).astype(dtype)  # [K_out, K']
-    gathered = onehot @ feat  # [K_out, C]
+    gathered = _exact_dot(onehot, feat)  # [K_out, C]
     cols = [gathered[..., i] for i in range(feat.shape[-1])]
     h_s = cols[:nd]
     gain_s = [
@@ -265,7 +278,7 @@ def _correct_prune_soa(model, cfg, params, fns, pose, pred: SGM, zl, z_mask):
         midx[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
     ).astype(dtype)  # [K_out, M]
     zfeat = jnp.stack(zl, axis=-1)  # [M, D]
-    z_s = onehot_m @ zfeat  # [K_out, D]
+    z_s = _exact_dot(onehot_m, zfeat)  # [K_out, D]
 
     # --- survivor mean/cov update (:893-898) ---------------------------------
     innov_s = [z_s[..., i] - h_s[i] for i in range(nd)]
@@ -322,7 +335,7 @@ def _correct_prune_soa(model, cfg, params, fns, pose, pred: SGM, zl, z_mask):
     )
     # one matmul pools all 9 moment channels (means + second moments)
     moments = jnp.stack(list(mean_s) + list(sec), axis=-1)  # [K_out, 9]
-    pooled = (cw @ moments) / safe[:, None]
+    pooled = _exact_dot(cw, moments) / safe[:, None]
     mean_m = [pooled[..., i] for i in range(3)]
     sec_m = [pooled[..., 3 + i] for i in range(6)]
     mm = (
@@ -365,7 +378,7 @@ def _weight_alpha_soa(model, cfg, params, fns, pose, predicted: SGM,
     ).astype(dtype)  # [E, K]
     mfeat = jnp.stack(corrected.mean_list(), axis=-1)  # [K, 3]
     mfeat = jnp.where(jnp.isfinite(mfeat), mfeat, 0.0)
-    jm = onehot_j @ mfeat
+    jm = _exact_dot(onehot_j, mfeat)
     jmeans = [jm[:, i] for i in range(3)]  # 3-list [E]
 
     def mixture_loglike(gm):
@@ -387,7 +400,7 @@ def _weight_alpha_soa(model, cfg, params, fns, pose, predicted: SGM,
     ).astype(dtype)  # [m_cap, M]
     zfeat = jnp.stack(zl, axis=-1)
     zfeat = jnp.where(jnp.isfinite(zfeat), zfeat, 0.0)
-    zcm = onehot_o @ zfeat  # [m_cap, D]
+    zcm = _exact_dot(onehot_o, zfeat)  # [m_cap, D]
     zc = [zcm[:, i] for i in range(len(zl))]
     zc_mask = z_mask[order]
 
@@ -441,6 +454,7 @@ def resample(state: PHDState, key):
         logweight=jnp.full((p,), -jnp.log(float(p)), state.logweight.dtype),
         maps=jax.tree.map(lambda a: a[src], state.maps),
         best=best,
+        ancestor=src,
     )
 
 
@@ -464,6 +478,7 @@ def make_slam_step(model, cfg: PHDConfig, slam: bool = True,
         pallas_beam = (
             jax.default_backend() == "tpu"
             and not jax.config.jax_enable_x64
+            and beam_pallas.recommended(cfg.beam_width)
         )
     use_beam_kernel = slam and pallas_beam
 
@@ -518,7 +533,9 @@ def make_slam_step(model, cfg: PHDConfig, slam: bool = True,
                 jnp.isfinite(norm), logweight - norm, state.logweight
             )
             best = jnp.argmax(logweight).astype(jnp.int32)
-            state = PHDState(state.pose, logweight, corrected, best)
+            p = logweight.shape[0]
+            state = PHDState(state.pose, logweight, corrected, best,
+                             jnp.arange(p, dtype=jnp.int32))
             # ESS check (ParticleDepleted, :768-777)
             w = jnp.exp(logweight)
             ess = 1.0 / jnp.maximum(jnp.sum(w * w), 1e-30)
@@ -530,7 +547,8 @@ def make_slam_step(model, cfg: PHDConfig, slam: bool = True,
                 state,
             )
         else:
-            state = PHDState(state.pose, logweight, corrected, jnp.int32(0))
+            state = PHDState(state.pose, logweight, corrected, jnp.int32(0),
+                             jnp.arange(logweight.shape[0], dtype=jnp.int32))
         return state
 
     return step
