@@ -301,10 +301,16 @@ def main():
     for name in todo:
         fn = EXPERIMENTS[name]
         kwargs = {"variant": args.variant} if name == "chap4-s1" else {}
-        print(f"=== {name} ===")
+        print(f"=== {name} ===", flush=True)
         stats = fn(outdir, **kwargs)
         for k, v in stats.items():
-            print(f"  {k}: {v}")
+            print(f"  {k}: {v}", flush=True)
+        import json
+
+        tag = name if name != "chap4-s1" else f"chap4-{args.variant}"
+        outdir.mkdir(parents=True, exist_ok=True)
+        with open(outdir / f"{tag}.stats.json", "w") as f:
+            json.dump(stats, f, indent=1, default=str)
 
 
 if __name__ == "__main__":
