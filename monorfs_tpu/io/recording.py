@@ -161,6 +161,9 @@ class Recording:
     sightings: List[Tuple[float, List[int]]] = dataclasses.field(
         default_factory=list
     )
+    # sensor-view video (MJPEG AVI bytes; the reference embeds sidebar.avi,
+    # Simulation.cs:391-488). Empty when the run had no sensor frontend.
+    sidebar: bytes = b""
 
     def save(self, filename):
         with zipfile.ZipFile(filename, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -184,6 +187,8 @@ class Recording:
                 zf.writestr(
                     "sightings.out", serialize_sightings(self.sightings)
                 )
+            if self.sidebar:
+                zf.writestr("sidebar.avi", self.sidebar)
 
     @classmethod
     def load(cls, filename) -> "Recording":
@@ -193,6 +198,12 @@ class Recording:
                     return zf.read(name).decode("utf-8")
                 except KeyError:
                     return ""
+
+            def read_bytes(name):
+                try:
+                    return zf.read(name)
+                except KeyError:
+                    return b""
 
             world = World.parse(read("scene.world"))
             dim = len(world.pose)
@@ -216,4 +227,5 @@ class Recording:
                 tags=parse_tags(read("tags.out")),
                 config_text=read("config.cfg"),
                 sightings=parse_sightings(read("sightings.out")),
+                sidebar=read_bytes("sidebar.avi"),
             )

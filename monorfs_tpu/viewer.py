@@ -100,6 +100,113 @@ def add_tag(rec: Recording, time, message):
     rec.tags.sort(key=lambda x: x[0])
 
 
+def _frame_image(rec: Recording, frame):
+    """Render one overview frame to an RGB uint8 array (offscreen)."""
+    import io as _io
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    render_overview(rec, buf, frame=frame)
+    buf.seek(0)
+    return np.asarray(Image.open(buf).convert("RGB"))
+
+
+def export_avi(rec: Recording, output, stride=5, fps=10):
+    """Render the replay to an MJPEG AVI (the video the reference Viewer
+    plays interactively; Util.SaveAsAvi, Util.cs:340-378)."""
+    from .io import avi
+
+    frames = [
+        _frame_image(rec, i) for i in range(0, len(rec.maps), stride)
+    ]
+    if not frames:
+        raise ValueError("recording has no map frames to render")
+    # pad to uniform size (bbox_inches='tight' can vary by a pixel)
+    h = min(f.shape[0] for f in frames)
+    w = min(f.shape[1] for f in frames)
+    avi.write_mjpeg(output, [f[:h, :w] for f in frames], fps=fps)
+    return output
+
+
+def export_sidebar(rec: Recording, output):
+    """Extract the embedded sensor-view video (sidebar.avi) to a file."""
+    if not rec.sidebar:
+        raise ValueError("recording has no sidebar video")
+    with open(output, "wb") as f:
+        f.write(rec.sidebar)
+    return output
+
+
+def interactive(rec: Recording):
+    """Timeline-scrub viewer (the reference Viewer's interactive mode,
+    Viewer.cs:58-649): a matplotlib window with a frame slider;
+    left/right arrows step, space jumps to the end. Requires a display."""
+    import matplotlib
+
+    try:
+        matplotlib.use("TkAgg")
+    except Exception:
+        pass
+    import matplotlib.pyplot as plt
+    from matplotlib.widgets import Slider
+
+    n = max(len(rec.maps), 1)
+    fig = plt.figure(figsize=(9, 7))
+    ax = fig.add_axes([0.08, 0.15, 0.88, 0.8])
+    sax = fig.add_axes([0.08, 0.04, 0.8, 0.04])
+    slider = Slider(sax, "frame", 0, n - 1, valinit=n - 1, valstep=1)
+
+    truth = np.array([s[:2] for _, s in rec.trajectory])
+    lm = rec.world.landmarks
+
+    def draw(fi):
+        fi = int(fi)
+        ax.clear()
+        ax.plot(truth[:, 0], truth[:, 1], "k-", lw=1.2, label="groundtruth")
+        if rec.estimate and fi < len(rec.estimate):
+            snap = rec.estimate[fi][1]
+            est = np.array([v[:2] for _, v in snap])
+            if est.size:
+                ax.plot(est[:, 0], est[:, 1], "b-", lw=1.0, label="estimate")
+        if lm.size:
+            ax.plot(lm[:, 0], lm[:, 1], "k*", ms=8)
+        if rec.maps and fi < len(rec.maps):
+            for w, mean, cov in rec.maps[fi][1]:
+                if w < 0.5:
+                    continue
+                ex, ey = _ellipse(mean, cov)
+                ax.plot(ex, ey, "g-", lw=0.7, alpha=0.8)
+        if rec.measurements and fi < len(rec.measurements):
+            pose = truth[min(fi, len(truth) - 1)]
+            for z in rec.measurements[fi][1]:
+                if len(z) >= 2:
+                    ax.plot([pose[0], pose[0] + z[0]],
+                            [pose[1], pose[1] + z[1]],
+                            "r-", lw=0.4, alpha=0.5)
+        ax.set_aspect("equal")
+        ax.set_title(f"frame {fi} / {n - 1}")
+        fig.canvas.draw_idle()
+
+    slider.on_changed(draw)
+
+    def on_key(event):
+        v = int(slider.val)
+        if event.key == "right":
+            slider.set_val(min(v + 1, n - 1))
+        elif event.key == "left":
+            slider.set_val(max(v - 1, 0))
+        elif event.key == " ":
+            slider.set_val(n - 1)
+
+    fig.canvas.mpl_connect("key_press_event", on_key)
+    draw(n - 1)
+    plt.show()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="monorfs-tpu-viewer")
     ap.add_argument("-f", "--file", required=True, help="recording zip")
@@ -108,6 +215,12 @@ def main(argv=None):
     ap.add_argument("--stride", type=int, default=10)
     ap.add_argument("--frame", type=int, default=None)
     ap.add_argument("--tag", default=None, help="'time:message' tag to add")
+    ap.add_argument("--avi", default=None, help="export replay to MJPEG AVI")
+    ap.add_argument("--sidebar", default=None,
+                    help="extract embedded sensor video (sidebar.avi)")
+    ap.add_argument("--interactive", action="store_true",
+                    help="timeline-scrub window (requires a display)")
+    ap.add_argument("--fps", type=int, default=10)
     args = ap.parse_args(argv)
 
     rec = Recording.load(args.file)
@@ -116,6 +229,17 @@ def main(argv=None):
         add_tag(rec, float(t), msg)
         rec.save(args.file)
         print(f"tag added at {t}: {msg}")
+    if args.sidebar:
+        export_sidebar(rec, args.sidebar)
+        print(f"sidebar video written to {args.sidebar}")
+        return 0
+    if args.avi:
+        export_avi(rec, args.avi, stride=args.stride, fps=args.fps)
+        print(f"replay video written to {args.avi}")
+        return 0
+    if args.interactive:
+        interactive(rec)
+        return 0
     if args.frames:
         outs = render_frames(rec, args.frames, args.stride)
         print(f"{len(outs)} frames rendered to {args.frames}")
