@@ -158,30 +158,44 @@ def chap5_s2(outdir, particles=50):
              "-c", str(ROOT / "assets/mov2d.in"), "-a", "phd",
              "-p", str(particles), "-g", cfg, "-r", phd])
     stats = {"phd": analyze(phd, out)}
-    for alg in ("loopy", "odometry"):
-        rec = str(out / f"{alg}.zip")
-        run_cli(["-f", phd, "-i", "record", "-a", alg, "-g", cfg, "-r", rec])
-        stats[alg] = analyze(rec, out)
-    recs = [phd, str(out / "loopy.zip"), str(out / "odometry.zip")]
+    odo = str(out / "odometry.zip")
+    run_cli(["-f", phd, "-i", "record", "-a", "odometry", "-g", cfg,
+             "-r", odo])
+    stats["odometry"] = analyze(odo, out)
+    # the smoother replays the odometry record: its initial estimate is the
+    # dead-reckoned trajectory, exactly the reference's S2 workflow
+    # (chap5/S2-standard.sh solves loopy on the odometry-generated record)
+    rec = str(out / "loopy.zip")
+    run_cli(["-f", odo, "-i", "record", "-a", "loopy", "-g", cfg, "-r", rec])
+    stats["loopy"] = analyze(rec, out)
+    recs = [phd, str(out / "loopy.zip"), odo]
     plot_series(recs, ["phd", "loopy", "odometry"], "loc",
                 str(out / "loc.png"), "ATE location (2D)")
     return stats
 
 
 def chap5_s1(outdir, particles=20):
-    """Trivial (zero-noise) smoother sanity grid (chap5/S1-trivial.sh +
-    trivial.cfg): with no motion/measurement noise the smoother must
-    reproduce the filter exactly."""
+    """Trivial smoother sanity grid (chap5/S1-trivial.sh): the DATA are
+    generated under trivial.cfg (zero measurement noise, PD=1, no clutter)
+    by an odometry leg, but the PHD/Loopy SOLVERS run with
+    trivialestimate.cfg (nonzero noise model) — exactly the reference's
+    two-config workflow (S1-trivial.sh:21-38). Solving with the zero-noise
+    config itself would make every measurement likelihood singular."""
     out = outdir / "chap5-s1"
     out.mkdir(parents=True, exist_ok=True)
-    cfg = str(HERE / "configs" / "chap5-trivial.cfg")
-    phd = str(out / "phd.zip")
+    gencfg = str(HERE / "configs" / "chap5-trivial.cfg")
+    cfg = str(HERE / "configs" / "chap5-trivialestimate.cfg")
+    odo = str(out / "odometry.zip")
     run_cli(["-f", str(ROOT / "assets/linear2d.world"),
-             "-c", str(ROOT / "assets/mov2d.in"), "-a", "phd",
-             "-p", str(particles), "-g", cfg, "-r", phd, "--frames", "160"])
-    stats = {"phd": analyze(phd, out)}
+             "-c", str(ROOT / "assets/mov2d.in"), "-a", "odometry",
+             "-g", gencfg, "-r", odo, "--frames", "160"])
+    stats = {"odometry": analyze(odo, out)}
+    phd = str(out / "phd.zip")
+    run_cli(["-f", odo, "-i", "record", "-a", "phd", "-p", str(particles),
+             "-g", cfg, "-r", phd])
+    stats["phd"] = analyze(phd, out)
     rec = str(out / "loopy.zip")
-    run_cli(["-f", phd, "-i", "record", "-a", "loopy", "-g", cfg, "-r", rec])
+    run_cli(["-f", odo, "-i", "record", "-a", "loopy", "-g", cfg, "-r", rec])
     stats["loopy"] = analyze(rec, out)
     return stats
 
@@ -197,11 +211,14 @@ def _chap5_loop(outdir, name, cfgname, particles):
              "-c", str(ROOT / "assets/mov2dloop.in"), "-a", "phd",
              "-p", str(particles), "-g", cfg, "-r", phd])
     stats = {"phd": analyze(phd, out)}
-    for alg in ("loopy", "odometry"):
-        rec = str(out / f"{alg}.zip")
-        run_cli(["-f", phd, "-i", "record", "-a", alg, "-g", cfg, "-r", rec])
-        stats[alg] = analyze(rec, out)
-    recs = [phd, str(out / "loopy.zip"), str(out / "odometry.zip")]
+    odo = str(out / "odometry.zip")
+    run_cli(["-f", phd, "-i", "record", "-a", "odometry", "-g", cfg,
+             "-r", odo])
+    stats["odometry"] = analyze(odo, out)
+    rec = str(out / "loopy.zip")
+    run_cli(["-f", odo, "-i", "record", "-a", "loopy", "-g", cfg, "-r", rec])
+    stats["loopy"] = analyze(rec, out)
+    recs = [phd, str(out / "loopy.zip"), odo]
     plot_series(recs, ["phd", "loopy", "odometry"], "loc",
                 str(out / "loc.png"), f"ATE location ({name})")
     return stats

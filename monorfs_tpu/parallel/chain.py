@@ -305,6 +305,10 @@ def make_sharded_sweep(model, cfg, mesh, axis_name="chain", causal=False,
             state = state._replace(fused_mean=mean, fused_cov=cov)
         if cfg.gauge_fix:
             state = _gauge_fix_block(state, axis_name, n)
+        if cfg.relinearize:
+            # per-node tangent transport: no halo dependencies, so the
+            # sequential loopy.relinearize applies to each block verbatim
+            state = loopy.relinearize(model, state)
         return state
 
     sh = P(axis_name)

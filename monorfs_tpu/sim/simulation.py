@@ -133,6 +133,7 @@ class Simulation:
         self.way_maps = []  # (t, [(w, mean, cov)])
         self.way_vismaps = []  # (t, [(w, mean, cov)])
         self.frames = []  # per-frame dict: poses [P,S], parents [P], best
+        self.sidebar_frames = []  # sensor-view images (kinect runs)
         self.tags = []
         self.time = 0.0
         self.frame_index = 0
@@ -210,6 +211,7 @@ class Simulation:
         no groundtruth pose, odometry from the command stream."""
         i = self.frame_index
         zs, depth = self.kinect.measure(i)
+        self._sidebar_frame(depth, zs)
         if self.model.uses_depth:
             # re-bind the live depth map for occlusion-aware visibility
             self.nparams = self.nparams._replace(
@@ -232,6 +234,22 @@ class Simulation:
             jnp.zeros(lmax, bool),
             jnp.zeros(lmax, bool),
         )
+
+    def _sidebar_frame(self, depth, zs):
+        """Collect one sensor-view sidebar frame: normalized depth with the
+        accepted keypoints marked (the reference draws the same depth +
+        keypoint overlay, KinectVehicle.cs:789-858; the frames become the
+        recording's sidebar.avi)."""
+        d = np.asarray(depth, np.float32)
+        lo, hi = float(d.min()), float(d.max())
+        img = ((d - lo) / (hi - lo + 1e-12) * 255).astype(np.uint8)
+        rgb = np.stack([img, img, img], axis=-1)
+        h, w = img.shape
+        for px, py, _ in np.asarray(zs).reshape(-1, 3):
+            x, y = int(px + w / 2), int(py + h / 2)
+            if 1 <= x < w - 1 and 1 <= y < h - 1:
+                rgb[y - 1:y + 2, x - 1:x + 2] = (255, 64, 64)
+        self.sidebar_frames.append(rgb)
 
     def _replay_frame(self):
         """RecordVehicle playback (RecordVehicle.cs:150-240): pose from the
@@ -439,15 +457,19 @@ class Simulation:
         return self
 
     def _run_loopy(self, progress=False):
-        """Offline smoother driver: inner PHD pass for the initial estimate,
-        then annealed message-passing sweeps."""
+        """Offline smoother driver: the initial estimate comes from the
+        replayed record's own estimate when one exists (the reference reads
+        "Loopy PHD initialization data from file", Simulation.cs:317-321 +
+        :360-366), else from an inner PHD pass; then annealed
+        message-passing sweeps."""
         from ..slam.loopynav import LoopyPHDNavigator
 
+        use_recorded = self.replay is not None and bool(self.replay.estimate)
         inner = Simulation(
             self.cfg,
             self.world,
             self.commands,
-            algorithm="phd",
+            algorithm="phd" if not use_recorded else "odometry",
             particles=self.particles,
             onlymapping=self.onlymapping,
             dtype=self.dtype,
@@ -455,7 +477,11 @@ class Simulation:
             replay=self.replay,
         )
         inner.run(progress=progress)
-        est_traj = [f["poses"][f["best"]] for f in inner.frames]
+        if use_recorded:
+            # final snapshot of the recorded estimate history
+            est_traj = [v for _, v in self.replay.estimate[-1][1]]
+        else:
+            est_traj = [f["poses"][f["best"]] for f in inner.frames]
         odometry = [o for _, o in inner.way_odometry]
         meas = [zs for _, zs in inner.way_measurements]
 
@@ -535,7 +561,20 @@ class Simulation:
             tags=self.tags,
             config_text=self.cfg.to_descriptor(),
             sightings=self.way_sightings,
+            sidebar=self._sidebar_avi(),
         )
+
+    def _sidebar_avi(self):
+        if not self.sidebar_frames:
+            return b""
+        import io as _io
+
+        from ..io import avi
+
+        buf = _io.BytesIO()
+        fps = max(int(round(1.0 / max(self.cfg.measure_elapsed, 1e-3))), 1)
+        avi.write_mjpeg(buf, self.sidebar_frames, fps=fps)
+        return buf.getvalue()
 
     def save(self, filename):
         self.to_recording().save(filename)

@@ -46,6 +46,7 @@ class LoopyConfig:
     blocks: int = 8  # leave-block-out cavity maps
     anchor_sigma: float = 0.5  # initial lp-anchor prior std (see init_state)
     gauge_fix: bool = True  # project out the shear gauge mode per sweep
+    relinearize: bool = True  # re-anchor lp to the fused estimate per sweep
     ga_iters: int = 8
     ga_steps: int = 4  # parallel line-search fan per iteration
     jmap_cap: int = 32
@@ -752,6 +753,46 @@ def make_sweep(model, cfg: LoopyConfig, causal=False, damping=0.6):
 def fused_trajectory(model, state: LoopyState):
     """Current pose estimates: lp[t] + fused_mean[t]."""
     return model.pose.add(state.lp, state.fused_mean)
+
+
+def relinearize(model, state: LoopyState):
+    """Move the linearization points to the current fused estimate and
+    re-express every message in the new tangent space.
+
+    This turns the trust-region anchor (fit_map_message) from an absolute
+    tether on the INITIAL estimate into a bound on the per-sweep step: each
+    sweep moves at most ~anchor_sigma from the previous sweep's estimate, so
+    a mediocre init can still be walked to the posterior mode over sweeps
+    (the reference never relinearizes -- LinearizationPoints are fixed at
+    construction, LoopyPHDNavigator.cs:266-279 -- but its inits come from a
+    full PHD run; ours must also survive dead-reckoning inits, chap5
+    S1/S2 replay semantics).
+
+    Tangent transport: a message mean m at old lp becomes
+    subtract(add(lp, m), lp') at lp'. For the linear models this is exactly
+    m - delta; for Pose3D the covariance transport Jacobian is within
+    O(|delta|) of identity and delta <= anchor_sigma per sweep, so
+    covariances are carried unchanged."""
+    new_lp = model.pose.add(state.lp, state.fused_mean)
+
+    def move(mean):
+        return model.pose.subtract(model.pose.add(state.lp, mean), new_lp)
+
+    mask = state.node_mask[:, None]
+    new_lp = jnp.where(mask, new_lp, state.lp)
+    return state._replace(
+        lp=new_lp,
+        past_mean=jnp.where(mask, move(state.past_mean), state.past_mean),
+        future_mean=jnp.where(
+            mask, move(state.future_mean), state.future_mean
+        ),
+        map_mean=jnp.where(
+            mask[:, :, None],
+            jax.vmap(move, in_axes=1, out_axes=1)(state.map_mean),
+            state.map_mean,
+        ),
+        fused_mean=jnp.where(mask, 0.0, state.fused_mean),
+    )
 
 
 def trajectory_objective(model, cfg: LoopyConfig, params, state: LoopyState,

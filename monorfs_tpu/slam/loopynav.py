@@ -69,6 +69,7 @@ class LoopyPHDNavigator:
         self._sweep_causal = jax.jit(
             loopy.make_sweep(model, self.lcfg, causal=True)
         )
+        self._relinearize = jax.jit(lambda st: loopy.relinearize(model, st))
         self._objective = jax.jit(
             lambda st: loopy.trajectory_objective(
                 model, self.lcfg, self.params, st, self.odometry, self.z,
@@ -86,6 +87,11 @@ class LoopyPHDNavigator:
         trajectory objective is tracked every sweep and the best state kept
         (loopy BP on this model is not monotone; the runaway regime of
         over-tight map messages scores itself out)."""
+        if self.best_state is None:
+            # score the initial estimate so a run that only degrades it
+            # falls back to it
+            self.best_state = self.state
+            self.best_objective = self.objective()
         temperature = jnp.asarray(5.0 / (self.sweeps + 1), self.dtype)
         fn = self._sweep_causal if self.sweeps == 0 else self._sweep
         self.state = fn(
@@ -93,6 +99,18 @@ class LoopyPHDNavigator:
             temperature, self.grad_clip, self.grad_rate, self.motion_cov,
         )
         self.sweeps += 1
+        obj = self.objective()
+        if not np.isfinite(obj):
+            # numerical blowup (rare, long-chain f64 conditioning): revert to
+            # the best state so later sweeps don't iterate on garbage
+            self.state = self.best_state
+        elif obj > self.best_objective:
+            self.best_objective = obj
+            self.best_state = self.state
+        if self.lcfg.relinearize:
+            # re-anchor the trust region to the current estimate: the anchor
+            # then bounds per-sweep steps instead of tethering to the init
+            self.state = self._relinearize(self.state)
         return self
 
     # With the trust-region anchor + per-sweep shear gauge fix (loopy.py)
@@ -108,7 +126,7 @@ class LoopyPHDNavigator:
 
     @property
     def result_state(self):
-        return self.state
+        return self.best_state if self.best_state is not None else self.state
 
     @property
     def trajectory(self):

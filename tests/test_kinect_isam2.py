@@ -60,3 +60,38 @@ def test_kinect_isam2_recovers_translation(tmp_path):
     # off-axis drift stays small
     assert np.max(np.abs(traj[1:, 1] - traj[1, 1])) < 0.1
     assert np.max(np.abs(traj[1:, 2] - traj[1, 2])) < 0.1
+
+
+def test_kinect_run_embeds_sidebar(tmp_path):
+    """Kinect runs record the sensor view as sidebar.avi
+    (Simulation.cs:391-488 recording member)."""
+    h, w, frames, depth, focal = 60, 80, 4, 1.5, 100.0
+    path, _ = synthesize_rgbd(
+        tmp_path / "flat.npz", frames=frames, h=h, w=w, seed=3,
+        flat_depth=depth, pan_rate=0.2,
+    )
+    cam = KinectParams(
+        focal=focal, film_left=-w / 2, film_top=-h / 2, film_width=w,
+        film_height=h, range_min=0.1, range_max=5.0, res_x=w, res_y=h,
+        border=1,
+    )
+    src = KinectSource(RGBDDataset(path), camera=cam, delta=1,
+                       max_keypoints=32, threshold=40.0)
+    world = World(
+        pose=np.array([0, 0, 0, 1, 0, 0, 0.0]),
+        landmarks=np.zeros((0, 3)),
+        measurer_params=np.asarray(cam.to_linear()),
+    )
+    cfg = Config()
+    sim = Simulation(cfg, world, [], algorithm="odometry", particles=1,
+                     kinect_source=src, dtype=np.float64)
+    sim.run()
+    f = tmp_path / "rec.zip"
+    sim.save(str(f))
+    from monorfs_tpu.io import avi
+    from monorfs_tpu.io.recording import Recording
+
+    rec = Recording.load(f)
+    assert rec.sidebar, "kinect run should embed sidebar.avi"
+    jpegs = avi.read_mjpeg(__import__("io").BytesIO(rec.sidebar))
+    assert len(jpegs) == frames

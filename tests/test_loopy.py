@@ -84,17 +84,17 @@ def test_smoother_improves_dead_reckoning():
     model, cfg, truth, readings, measurements, est = make_problem()
     nav = LoopyPHDNavigator(
         model, cfg, est, readings, measurements, max_meas=16,
+        # DEFAULT trust-region/gauge settings: per-sweep relinearization
+        # re-anchors the trust region each sweep, so a dead-reckoned init
+        # is walked toward the posterior mode without special-casing
         loopy_cfg=loopy.LoopyConfig(
             max_nodes=len(est), max_meas=16, mix_cap=4, blocks=4,
             ga_iters=6, jmap_cap=16, beam_width=16,
-            # a dead-reckoned init is only trusted for relative structure:
-            # disable the absolute-trust gauge fix and anchor loosely
-            gauge_fix=False, anchor_sigma=2.0,
         ),
         link_cov=np.diag([0.05**2, 0.05**2]),  # the test's readings noise
     )
     err0 = np.sqrt(np.mean(np.sum((est - truth) ** 2, axis=1)))
-    for _ in range(5):
+    for _ in range(8):
         nav.sweep()
     smoothed = nav.trajectory
     err = np.sqrt(np.mean(np.sum((smoothed - truth) ** 2, axis=1)))
