@@ -17,6 +17,13 @@ sys.path.insert(0, str(HERE))
 def main():
     import jax
 
+    # the graph solver is a host-interactive path (per-frame association +
+    # warm-started GN in float64), exactly like the reference's CPU gtsam
+    # backend -- through the remote-TPU tunnel every small call pays the
+    # wire latency and f32 loses the normal equations' conditioning, so
+    # this bench pins CPU/f64 (the PHD bench, bench.py, owns the TPU path)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", str(HERE / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
@@ -35,7 +42,7 @@ def main():
         (HERE / "assets" / "mov3d.in").read_text()
     )[:frames]
     sim = Simulation(cfg, world, commands, algorithm="isam2", particles=1,
-                     dtype=np.float32)
+                     dtype=np.float64)
 
     # warm-up: first frames trigger the bucket compilations
     for cmd in commands[:10]:

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Collect experiments/out/*.stats.json into one markdown summary table
+(the committed evidence for the reference's chap3/4/5 grids)."""
+
+import json
+import pathlib
+import sys
+
+HERE = pathlib.Path(__file__).parent
+
+
+def main(outdir=None):
+    outdir = pathlib.Path(outdir or HERE / "out")
+    rows = []
+    for f in sorted(outdir.glob("*.stats.json")):
+        stats = json.load(open(f))
+        exp = f.name.replace(".stats.json", "")
+        for alg, s in stats.items():
+            if not isinstance(s, dict):
+                continue
+            rows.append((
+                exp, alg,
+                s.get("ate_loc_rmse"), s.get("ate_rot_rmse"),
+                s.get("final_ospa"), s.get("elapsed_s"),
+                s.get("frames"), s.get("mean_measurements"),
+            ))
+
+    def fmt(v, nd=4):
+        if v is None:
+            return "—"
+        if isinstance(v, str):
+            return v
+        return f"{float(v):.{nd}g}"
+
+    lines = [
+        "# Experiment grid results",
+        "",
+        "Reference grids: mono-rfs/plots/scripts/chap{3,4,5}/*.sh "
+        "(see experiments/run_experiments.py).",
+        "",
+        "| experiment | algorithm | ATE loc RMSE | ATE rot RMSE | "
+        "final OSPA | elapsed s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for exp, alg, loc, rot, ospa, el, frames, mm in rows:
+        if loc is None and frames is not None:
+            lines.append(
+                f"| {exp} | {alg} | frames={frames} "
+                f"mean_meas={fmt(mm, 3)} | — | — | — |"
+            )
+        else:
+            lines.append(
+                f"| {exp} | {alg} | {fmt(loc)} | {fmt(rot)} | {fmt(ospa)} "
+                f"| {fmt(el, 4)} |"
+            )
+    out = outdir / "SUMMARY.md"
+    out.write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    print(f"\nwritten to {out}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -521,7 +521,17 @@ def fit_map_message(model, cfg: LoopyConfig, params, lp, pose0, pf_cov, jmap,
         return quasi_ll(model, mc, params.pd, log_clutter, lp, tangent, jmap,
                         jvalid, z, z_mask, cfg.beam_width, jcov=jcov)
 
-    # guesses: pose0 + FitToMeasurement seeds within 0.5 of the estimate
+    # guesses: pose0 + FitToMeasurement seeds near the estimate. The
+    # reference gates seeds at 0.5 of the current pose (GuidedFitMixture,
+    # :793); here the gate additionally grows with the node's own chain
+    # uncertainty (pf_cov trace) -- a node whose accumulated drift is ~1
+    # must be allowed to see the loop-closure seeds a fixed 0.5 gate
+    # rejects, or revisit laps can only merge halfway (measured on the
+    # chap5 K3 loop world: objective(truth) beats every gated-walk state
+    # by >4000 nats, i.e. the true basin was unreachable, not unscored).
+    o_dt = pose0.dtype
+    pf_tr_gate = jnp.clip(jnp.trace(pf_cov) / o, 0.0, 1e4)
+    seed_r2 = 0.25 + 9.0 * pf_tr_gate  # (0.5^2 + (3 sigma)^2)
     initpose = model.pose.add(lp, pose0)
     fit = jax.vmap(
         jax.vmap(
@@ -536,12 +546,19 @@ def fit_map_message(model, cfg: LoopyConfig, params, lp, pose0, pf_cov, jmap,
     )(fit)  # [J, M, O]
     dist2 = jnp.sum(diff * diff, axis=-1)
     valid = (
-        jvalid[:, None] & z_mask[None, :] & (dist2 < 0.25)
+        jvalid[:, None] & z_mask[None, :] & (dist2 < seed_r2)
     ).reshape(-1)
     tangents = jax.vmap(
         jax.vmap(lambda g: model.pose.subtract(g, lp))
     )(fit).reshape(-1, o)
-    score = jnp.where(valid, -dist2.reshape(-1), -jnp.inf)
+    # rank gated seeds by their actual set log-likelihood, not proximity:
+    # with an uncertainty-widened gate the nearest seeds are the node's own
+    # (possibly duplicated) landmarks -- a proximity rank would always fill
+    # the mixture slots with them and starve the loop-closure seeds
+    seed_ll = jax.vmap(
+        lambda tg, ok: jnp.where(ok, ll(tg), -jnp.inf)
+    )(tangents, valid)
+    score = jnp.where(valid, seed_ll, -jnp.inf)
     _, top = jax.lax.top_k(score, cfg.mix_cap - 2)  # +pose0 +anchor slots
     guesses = jnp.concatenate([pose0[None, :], tangents[top]], axis=0)
     guess_valid = jnp.concatenate(
@@ -618,14 +635,21 @@ def fit_map_message(model, cfg: LoopyConfig, params, lp, pose0, pf_cov, jmap,
     )
 
     # Trust-region anchor: the returned factor is anchor x (const + mixture)
-    # with anchor = N(tangent; 0, anchor_sigma^2) at the linearization point.
+    # with anchor = N(tangent; 0, sigma_t^2) at the linearization point.
     # Without it the Jacobi sweeps drift in the posterior's soft shear mode
     # (poses + map translate coherently, ~free in both the chain and the map
     # likelihood; loopy double-counting turns the soft mode into a constant
-    # per-sweep slide). The product keeps every map message within
-    # ~anchor_sigma of the initial estimate; the const branch becomes an
-    # explicit anchor component so the factor stays a plain mixture.
-    eye_a = cfg.anchor_sigma ** 2 * jnp.eye(o, dtype=dtype)
+    # per-sweep slide). The anchor width scales with the node's own chain
+    # uncertainty (pf_cov): nodes near the t=0 Dirac stay rigid while
+    # far-from-anchor nodes (large accumulated drift) stay mobile -- so
+    # loop-closure merging pulls the uncertain revisit lap toward the
+    # well-anchored first lap instead of meeting it halfway. The const
+    # branch becomes an explicit anchor component so the factor stays a
+    # plain mixture.
+    pf_tr = jnp.clip(
+        jnp.trace(pf_cov) / o, 0.0, 100.0 * cfg.anchor_sigma ** 2
+    )
+    eye_a = (cfg.anchor_sigma ** 2 + pf_tr) * jnp.eye(o, dtype=dtype)
     zero = jnp.zeros((o,), dtype)
     am, ac = _fuse(maxpose, cov, zero[None, :], eye_a[None, :, :])
     ascale = gaussian.logpdf(maxpose, zero[None, :], cov + eye_a)
@@ -797,11 +821,18 @@ def relinearize(model, state: LoopyState):
 
 def trajectory_objective(model, cfg: LoopyConfig, params, state: LoopyState,
                          odometry, z, z_mask, motion_cov):
-    """Joint log-posterior score of the current fused trajectory: odometry
-    chain consistency + measurement set log-likelihood against the map built
-    from this trajectory. Used to select the best sweep (loopy message
-    passing on this model is not monotone; the reference simply runs a fixed
-    tick budget)."""
+    """Model-selection score of the current fused trajectory: odometry chain
+    consistency + CROSS-VALIDATED measurement set log-likelihood -- frame t's
+    measurements are scored against the cavity map that excludes frame t's
+    block. Used to select the best sweep (loopy message passing on this
+    model is not monotone; the reference simply runs a fixed tick budget).
+
+    Self-scoring (map built from and scored on the same frames) is not a
+    usable selector: a deforming trajectory can always raise its own
+    self-consistency (each measurement drags its own landmark), so runaway
+    sweeps scored ABOVE the init on the chap5 records while ATE worsened.
+    The leave-block-out likelihood only rewards deformations that make a
+    frame's measurements consistent with the map built WITHOUT them."""
     poses = fused_trajectory(model, state)
     t = poses.shape[0]
 
@@ -813,27 +844,19 @@ def trajectory_objective(model, cfg: LoopyConfig, params, state: LoopyState,
     chain = -0.5 * jnp.einsum("td,de,te->t", err, minfo, err)
     chain = jnp.where((jnp.arange(t) >= 1) & state.node_mask, chain, 0.0)
 
-    # map term: build the map once from this trajectory, score every frame
-    icfg = cfg.inner
-    step = phd.make_slam_step(model, icfg, slam=False)
-    st0 = phd.init_state(model, icfg, jnp.zeros_like(poses[0]), poses.dtype)
-    key = jax.random.PRNGKey(0)
-    fstep = _masked_frame_step(model, icfg, params, poses.dtype, step, key)
-
-    def frame(st, inputs):
-        pose_t, z_t, m_t, nmask_t = inputs
-        return fstep(st, pose_t, z_t, m_t, nmask_t), None
-
-    st, _ = jax.lax.scan(frame, st0, (poses, z, z_mask, state.node_mask))
-    gm = GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
-    jidx, jvalid = mixture.best_map_indices(gm.logw, cfg.jmap_cap)
-    jm, jc = gm.mean[jidx], gm.cov[jidx]
+    # cross-validated map term: frame t scored on its leave-block-out map
+    jmaps, jcovs, jvalids = cavity_maps(
+        model, cfg, params, poses, z, z_mask, state.node_mask
+    )
+    block_ids = jnp.arange(t) % cfg.blocks
     log_clutter = jnp.log(params.clutter_density)
 
     def node_ll(i):
+        b = block_ids[i]
         return association.quasi_set_log_likelihood(
-            model, params.meas_cov, params.pd, log_clutter, poses[i], jm,
-            jvalid, z[i], z_mask[i], cfg.beam_width, lm_cov=jc,
+            model, params.meas_cov, params.pd, log_clutter, poses[i],
+            jmaps[b], jvalids[b], z[i], z_mask[i], cfg.beam_width,
+            lm_cov=jcovs[b],
         )
 
     map_term = jax.vmap(node_ll)(jnp.arange(t))

@@ -29,15 +29,20 @@ def main():
     ap.add_argument("sweeps", type=int, nargs="?", default=12)
     ap.add_argument("--anchor", type=float, default=None)
     ap.add_argument("--no-gauge", action="store_true")
+    ap.add_argument("--config", default=None,
+                    help="cfg file overriding the recorded config")
     args = ap.parse_args()
     recfile = args.recfile
     sweeps = args.sweeps
     rec = Recording.load(recfile)
     cfg = Config()
-    if rec.config_text:
-        cfg.apply_descriptor(rec.config_text.splitlines())
+    cfg_text = rec.config_text
+    if args.config:
+        cfg_text = open(args.config).read()
+    if cfg_text:
+        cfg.apply_descriptor(cfg_text.splitlines())
         cfg.set_model_defaults(cfg.model)
-        cfg.apply_descriptor(rec.config_text.splitlines())
+        cfg.apply_descriptor(cfg_text.splitlines())
     model = models.get(cfg.model)
 
     truth = np.array([p for _, p in rec.trajectory])
