@@ -26,9 +26,10 @@ Performance layout (replacing the round-1 per-landmark host loop):
     estimate is the linearization point — the iSAM2 analogue of reusing the
     Bayes tree, isam2.cpp:245); every `full_solve_every` frames (and
     whenever a bucket grows) a full gn_iters re-solve relinearizes
-    everything. Marginal covariances are refreshed every frame in
-    Mahalanobis mode (the gate needs them, isam2.cpp:258-312) and only on
-    full solves otherwise.
+    everything. Marginal covariances are refreshed on full solves and (for
+    the Mahalanobis gate, isam2.cpp:258-312) every `marginals_every`
+    frames -- the gate covariances drift slowly between landmark-set
+    changes, and any new landmark forces a full solve first.
 """
 
 import dataclasses
@@ -56,7 +57,7 @@ class ISAM2Navigator:
     def __init__(self, model, cfg, init_pose, max_poses=512,
                  max_landmarks=256, meas_per_frame=24, onlymapping=False,
                  dtype=np.float64, da_algorithm=None, full_solve_every=8,
-                 cand_cap=128):
+                 cand_cap=128, marginals_every=4):
         self.model = model
         self.cfg = cfg
         self.dtype = dtype
@@ -67,6 +68,7 @@ class ISAM2Navigator:
         self.pd = cfg.detection_probability
         self.clutter_density = max(cfg.navigator_clutter_density, 1e-30)
         self.full_solve_every = full_solve_every
+        self.marginals_every = marginals_every
 
         self.max_poses = max_poses
         self.max_landmarks = max_landmarks
@@ -106,6 +108,7 @@ class ISAM2Navigator:
         self._marginal_fns = {}
         self._assoc_fn = None
         self._last_full_solve = -1
+        self._last_marginals = -10**9
 
         self.pose = np.asarray(init_pose, dtype)
         self.lm_cov = np.zeros((max_landmarks, 3, 3))
@@ -408,12 +411,22 @@ class ISAM2Navigator:
         self.landmarks_np[:l_cap] = np.asarray(st.landmarks)
         self.pose = self.poses_np[t].copy()
 
-        # marginals: every frame for the Mahalanobis gate, otherwise only on
-        # relinearization frames (visualization covariances)
-        if self.da_algorithm == "Mahalanobis" or full:
+        # marginals: refreshed on relinearization frames and (for the
+        # Mahalanobis gate) every `marginals_every` frames. The gate
+        # covariances J Sigma J^T + R evolve slowly between landmark-set
+        # changes -- and any new landmark forces full=True above, so a
+        # just-promoted landmark never sees a stale (garbage) row. The
+        # marginals pass is the steady-state cost driver (a [T*O, L*3]
+        # multi-RHS solve per call, graph.py:289-341); amortizing it is the
+        # batch-GN stand-in for gtsam's incremental Bayes-tree marginals.
+        if full or (
+            self.da_algorithm == "Mahalanobis"
+            and t - self._last_marginals >= self.marginals_every
+        ):
             lm_cov, pl_cov = self._marginals_for(cfg, key)(st)
             self.lm_cov[:l_cap] = np.asarray(lm_cov)
             self.pl_cov[:l_cap] = np.asarray(pl_cov)
+            self._last_marginals = t
         return labels
 
     # ------------------------------------------------------------------

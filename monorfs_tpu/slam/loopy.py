@@ -419,11 +419,17 @@ def _masked_frame_step(model, icfg, params, map_poses_dtype, step, key):
 
 
 def cavity_map_block(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
-                     block_id, node_mask=None):
+                     block_id, node_mask=None, contiguous=False):
     """One leave-block-out mapping-PHD pass over the trajectory, excluding
     the measurements of frames with t % cfg.blocks == block_id (and skipping
     masked padding nodes entirely). Factored out so the chain-sharded sweep
-    (parallel/chain.py) can distribute the B passes over the mesh."""
+    (parallel/chain.py) can distribute the B passes over the mesh.
+
+    contiguous=True excludes the contiguous chunk t * B // T == block_id
+    instead of the interleaved stripe -- a REAL hold-out for scoring
+    (adjacent frames see the same landmarks from nearly the same pose, so a
+    striped cavity still contains each frame's local information and a
+    cross-validated score built on it cannot penalize trajectory warps)."""
     b = cfg.blocks
     t = map_poses.shape[0]
     icfg = cfg.inner
@@ -438,7 +444,10 @@ def cavity_map_block(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
 
     def frame(st, inputs):
         pose_t, z_t, mask_t, tidx, nmask_t = inputs
-        excluded = (tidx % b) == block_id
+        if contiguous:
+            excluded = (tidx * b // t) == block_id
+        else:
+            excluded = (tidx % b) == block_id
         return fstep(st, pose_t, z_t, mask_t & ~excluded, nmask_t), None
 
     st, _ = jax.lax.scan(
@@ -450,15 +459,16 @@ def cavity_map_block(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
 
 
 def cavity_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
-                node_mask=None):
+                node_mask=None, contiguous=False):
     """Run B mapping-PHD passes over the trajectory, pass b excluding the
-    frames with t % B == b. Returns per-block jmap means [B, J, 3] + valid.
+    frames with t % B == b (or the contiguous chunk b with contiguous=True).
+    Returns per-block jmap means [B, J, 3] + valid.
 
     One vmapped lax.scan: O(B*T) total work replacing the reference's O(T^2)
     FilterMissing (:729-763)."""
     return jax.vmap(
         lambda b: cavity_map_block(model, cfg, params, map_poses, z, z_mask,
-                                   b, node_mask)
+                                   b, node_mask, contiguous=contiguous)
     )(jnp.arange(cfg.blocks))
 
 
@@ -844,11 +854,14 @@ def trajectory_objective(model, cfg: LoopyConfig, params, state: LoopyState,
     chain = -0.5 * jnp.einsum("td,de,te->t", err, minfo, err)
     chain = jnp.where((jnp.arange(t) >= 1) & state.node_mask, chain, 0.0)
 
-    # cross-validated map term: frame t scored on its leave-block-out map
+    # cross-validated map term: frame t scored on the map built WITHOUT its
+    # contiguous chunk (a striped hold-out keeps each frame's neighbors, so
+    # it cannot penalize warps; see cavity_map_block)
     jmaps, jcovs, jvalids = cavity_maps(
-        model, cfg, params, poses, z, z_mask, state.node_mask
+        model, cfg, params, poses, z, z_mask, state.node_mask,
+        contiguous=True,
     )
-    block_ids = jnp.arange(t) % cfg.blocks
+    block_ids = jnp.arange(t) * cfg.blocks // t
     log_clutter = jnp.log(params.clutter_density)
 
     def node_ll(i):
