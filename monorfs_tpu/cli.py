@@ -55,6 +55,16 @@ def main(argv=None):
     cfg = Config()
     rec = None
     kinect_source = None
+    # config precedence (Program.cs:158-177): explicit -g > recording-embedded
+    # > defaults -- resolved BEFORE any consumer is constructed, so a -g
+    # KinectDelta/KeypointFilter reaches the KinectSource (round-2 bug: the
+    # source was built from the defaults before -g was loaded)
+    if args.input == "record":
+        rec = Recording.load(args.file)
+        cfg.apply_descriptor(rec.config_text.splitlines())
+    if args.config:
+        cfg = Config.from_file(args.config)
+
     if args.input == "kinect":
         from .frontend.dataset import RGBDDataset
         from .frontend.kinect import KinectSource
@@ -87,8 +97,6 @@ def main(argv=None):
             parse_commands(open(args.command).read()) if args.command else []
         )
     elif args.input == "record":
-        rec = Recording.load(args.file)
-        cfg.apply_descriptor(rec.config_text.splitlines())
         world = rec.world
         commands = []
     else:
@@ -97,9 +105,7 @@ def main(argv=None):
             parse_commands(open(args.command).read()) if args.command else []
         )
 
-    if args.config:
-        cfg = Config.from_file(args.config)
-    elif args.input != "record":
+    if not args.config and args.input != "record":
         # no explicit config: infer the model family from the world's pose
         # dimension (the reference requires `Model:` in the cfg; inferring
         # keeps bare runs working for every family)

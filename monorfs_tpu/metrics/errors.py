@@ -106,10 +106,70 @@ def _interp_state(traj: List[Tuple[float, np.ndarray]], t: float):
     return traj[idx][1]
 
 
-def ate_location(estimate, truth):
+def align_at(estimate, truth, reftime):
+    """Rigidly align the estimate to groundtruth at the pose nearest
+    `reftime` (postanalysis -t flag, Program.cs:67 + Plot.cs:99-101): the
+    reference computes every ATE value relative to the reference-index pose
+    (error_i = diff(g_i - g_ref, e_i - e_ref), Plot.cs:371-404), which is
+    equivalent to re-anchoring the estimate at that pose. Linear states are
+    translated; 7-state poses are rotated about the reference pose by the
+    quaternion correction and translated."""
+    if not estimate:
+        return estimate
+    idx = min(
+        range(len(estimate)), key=lambda i: abs(estimate[i][0] - reftime)
+    )
+    e_ref = np.asarray(estimate[idx][1], float)
+    g_ref = np.asarray(_interp_state(truth, estimate[idx][0]), float)
+    if len(e_ref) >= 7 and len(g_ref) >= 7:
+        q_corr = _quat_mul(g_ref[3:7], _quat_conj(e_ref[3:7]))
+        q_corr = q_corr / np.linalg.norm(q_corr)
+        rot = _quat_to_matrix(q_corr)
+        out = []
+        for t, s in estimate:
+            s = np.asarray(s, float)
+            loc = g_ref[:3] + rot @ (s[:3] - e_ref[:3])
+            quat = _quat_mul(q_corr, s[3:7])
+            out.append((t, np.concatenate([loc, quat, s[7:]])))
+        return out
+    d = min(len(e_ref), len(g_ref))
+    delta = g_ref[:d] - e_ref[:d]
+    return [
+        (t, np.asarray(s, float)[:d] + delta) for t, s in estimate
+    ]
+
+
+def _quat_conj(q):
+    return np.array([q[0], -q[1], -q[2], -q[3]])
+
+
+def _quat_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])
+
+
+def _quat_to_matrix(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def ate_location(estimate, truth, reftime=None):
     """Per-frame location error estimate vs time-aligned groundtruth
     (Plot.cs:371-387). Both are [(t, state)]; locations are state[:3] (or the
-    full state for linear models)."""
+    full state for linear models). reftime (seconds) aligns the estimate to
+    groundtruth at that pose first (the -t flag semantics)."""
+    if reftime is not None:
+        estimate = align_at(estimate, truth, reftime)
     out = []
     for t, s in estimate:
         g = _interp_state(truth, t)
@@ -124,9 +184,11 @@ def _quat_angle(qa, qb):
     return 2.0 * np.arccos(dq)
 
 
-def ate_rotation(estimate, truth):
+def ate_rotation(estimate, truth, reftime=None):
     """Per-frame rotation error (quaternion geodesic angle) for 7-state
     poses; zero for linear models (Plot.cs:389-404)."""
+    if reftime is not None:
+        estimate = align_at(estimate, truth, reftime)
     out = []
     for t, s in estimate:
         g = _interp_state(truth, t)

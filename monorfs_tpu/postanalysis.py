@@ -139,24 +139,27 @@ def _quat_mul(a, b):
 
 
 def analyze(rec: Recording, c: float = 1.0, p: float = 1.0,
-            mode: str = "timed"):
+            mode: str = "timed", reftime: float = None):
     """Metrics suite; `mode` selects the trajectory history semantics
     (filter / smooth / timed, Plot.cs:325-369 — timed is the reference
-    default, Program.cs:68)."""
+    default, Program.cs:68). `reftime` aligns every trajectory estimate to
+    groundtruth at that time before the ATE series (the -t flag,
+    Program.cs:67 + Plot.cs:371-404; every reference script passes
+    -t 0.0333)."""
     visited = visited_landmarks(rec)
     estimates = map_estimates(rec)
 
     if mode == "timed":
         loc = timed_series(
-            rec, lambda traj: ate_location(traj, rec.trajectory)
+            rec, lambda traj: ate_location(traj, rec.trajectory, reftime)
         )
         rot = timed_series(
-            rec, lambda traj: ate_rotation(traj, rec.trajectory)
+            rec, lambda traj: ate_rotation(traj, rec.trajectory, reftime)
         )
     else:
         est_traj = estimate_series(rec, mode)
-        loc = ate_location(est_traj, rec.trajectory)
-        rot = ate_rotation(est_traj, rec.trajectory)
+        loc = ate_location(est_traj, rec.trajectory, reftime)
+        rot = ate_rotation(est_traj, rec.trajectory, reftime)
     drift_loc, drift_rot = odometry_drift(rec, mode=mode)
 
     map_err, map_spatial, map_card, sizes, realsizes = [], [], [], [], []

@@ -208,7 +208,10 @@ def quasi_set_log_likelihood(model, meas_cov, pd, log_clutter, pose,
         diff = z[None, :, :] - mu[:, None, :]
         d2 = jnp.einsum("nmd,nde,nme->nm", diff, s_inv, diff)
         ll = log_pd[:, None] + logmult_n[:, None] - 0.5 * d2
-        ll = jnp.where(d2 < 144.0, ll, NEG)
+        # the lower gate guards against indefinite S (a degenerate landmark
+        # covariance can make d2 NEGATIVE, which would pass a one-sided gate
+        # and contribute an astronomically positive log-likelihood)
+        ll = jnp.where((d2 >= 0.0) & (d2 < 144.0), ll, NEG)
     else:
         ll = likelihood_matrix(mu, log_pd, logmult, r_inv, z, 12.0)
     ll = jnp.where(z_mask[None, :], ll, NEG)

@@ -57,13 +57,16 @@ class ISAM2Navigator:
     def __init__(self, model, cfg, init_pose, max_poses=512,
                  max_landmarks=256, meas_per_frame=24, onlymapping=False,
                  dtype=np.float64, da_algorithm=None, full_solve_every=8,
-                 cand_cap=128, marginals_every=4):
+                 cand_cap=128, marginals_every=4, merge_threshold=0.0,
+                 cover_threshold=None):
         self.model = model
         self.cfg = cfg
         self.dtype = dtype
         self.onlymapping = onlymapping
         self.da_algorithm = da_algorithm or cfg.da_algorithm
         self.match_threshold = cfg.match_threshold
+        self.cover_threshold = cover_threshold or 3.5 * cfg.match_threshold
+        self.merge_threshold = merge_threshold
         self.new_landmark_threshold = cfg.new_landmark_threshold
         self.pd = cfg.detection_probability
         self.clutter_density = max(cfg.navigator_clutter_density, 1e-30)
@@ -146,14 +149,15 @@ class ISAM2Navigator:
         d = self.meas_dim
 
         def profit_rows(means, covs, targets, t_mask):
-            """Gated log-profit of N (mean, cov) sources vs M targets."""
+            """Gated log-profit of N (mean, cov) sources vs M targets.
+            Also returns the raw squared Mahalanobis distances (ungated)."""
             ci = jnp.linalg.inv(covs)
             sign, logdet = jnp.linalg.slogdet(covs)
             logmult = -0.5 * (d * np.log(2 * np.pi) + logdet)  # [N]
             diff = targets[None, :, :] - means[:, None, :]  # [N, M, D]
             d2 = jnp.einsum("nmd,nde,nme->nm", diff, ci, diff)
             prof = log_pd + logmult[:, None] - 0.5 * d2
-            return jnp.where((d2 < thr2) & t_mask[None, :], prof, NEG)
+            return jnp.where((d2 < thr2) & t_mask[None, :], prof, NEG), d2
 
         visible = model.visible_fn()  # frustum visibility (depth-occlusion
         # models gate association without the live depth map; the map factor
@@ -169,24 +173,26 @@ class ISAM2Navigator:
             mu_c = model.measure(model.params, pose_b, cand)  # [C, D]
             r = self.meas_cov
             if mahalanobis:
-                prof_l = profit_rows(mu_l, pl_cov, z, z_mask)
-                prof_c = profit_rows(
+                prof_l, d2_l = profit_rows(mu_l, pl_cov, z, z_mask)
+                prof_c, _ = profit_rows(
                     mu_c, jnp.broadcast_to(r, (cand.shape[0],) + r.shape),
                     z, z_mask,
                 )
             else:  # NN: distances in map space, tiny fixed covariance
                 nn_cov = 0.001 * jnp.eye(3, dtype=lms.dtype)
-                prof_l = profit_rows(
+                prof_l, d2_l = profit_rows(
                     lms, jnp.broadcast_to(nn_cov, (lms.shape[0], 3, 3)),
                     backproj, z_mask,
                 )
-                prof_c = profit_rows(
+                prof_c, _ = profit_rows(
                     cand, jnp.broadcast_to(nn_cov, (cand.shape[0], 3, 3)),
                     backproj, z_mask,
                 )
             prof_l = jnp.where(vis[:, None], prof_l, NEG)
             prof_c = jnp.where(cand_mask[:, None], prof_c, NEG)
-            return vis, prof_l, prof_c, backproj
+            live = lm_mask[:, None] & z_mask[None, :]
+            d2_l = jnp.where(live, d2_l, jnp.inf)
+            return vis, prof_l, prof_c, backproj, d2_l
 
         return jax.jit(assoc)
 
@@ -218,7 +224,7 @@ class ISAM2Navigator:
             cand[k] = c
             cand_mask[k] = True
 
-        vis, prof_l, prof_c, backproj = self._assoc_fn(
+        vis, prof_l, prof_c, backproj, d2_l = self._assoc_fn(
             jnp.asarray(self.pose), jnp.asarray(self.landmarks_np),
             jnp.asarray(self.lm_mask_np), jnp.asarray(self.pl_cov, self.dtype),
             jnp.asarray(cand), jnp.asarray(cand_mask), jnp.asarray(z),
@@ -227,6 +233,7 @@ class ISAM2Navigator:
         vis = np.asarray(vis)
         prof_l = np.asarray(prof_l)
         prof_c = np.asarray(prof_c)
+        d2_l = np.asarray(d2_l)
         self._backproj = np.asarray(backproj)
 
         visible_idx = np.flatnonzero(vis)
@@ -249,6 +256,60 @@ class ISAM2Navigator:
 
         labels = [CLUTTER] * m
         keep = [False] * nc
+        # measurements within the gate of SOME visible proven landmark: these
+        # already had their chance in the assignment; when they lose it (the
+        # landmark matched another measurement, or a candidate out-bid it
+        # because its R-metric profit peaks higher than the landmark's wider
+        # J Sigma J^T + R metric), seeding or promoting a candidate from them
+        # mints a near-exact duplicate of the proven landmark. Measured on
+        # chap4-default: 67 of 70 promotions landed within 0.5 (most within
+        # 0.05) of an existing landmark before this discipline (the reference
+        # avoids runaway duplication only statistically,
+        # ISAM2Navigator.cs:384-436).
+        # the cover test: a measurement is "covered" (treated as the shadow
+        # of a proven landmark, not a birth) when some visible landmark is
+        # gated for it (pl_cov metric) AND that landmark went UNMATCHED in
+        # this frame's assignment. This is the exact signature of the steal
+        # cycle (a tight-R candidate out-bids the landmark's wider
+        # J Sigma J^T + R profit, leaving the landmark missed while its own
+        # measurement feeds a duplicate candidate). Requiring "unmatched"
+        # keeps legitimate births alive while the pose is uncertain: in the
+        # kinect bootstrap every z is inside every landmark's inflated gate,
+        # but those landmarks match their own measurements, so new corners
+        # still seed candidates.
+        # the cover gate is WIDER than the match gate: measured on
+        # chap4-default, genuine new landmarks promote at d2 > 200 in the
+        # J Sigma J^T + R metric while duplicate births cluster at d2 10-60
+        # -- just outside the match gate (thr^2 = 9), where the amortized
+        # marginals' staleness underestimates the innovation covariance.
+        # A measurement in this penumbra is treated as the shadow of the
+        # existing landmark (no birth), but is NOT force-matched (a d2 ~ 50
+        # association would corrupt the graph with a miscalibrated factor).
+        thr2_f = float(self.cover_threshold) ** 2
+        matched_lms = {
+            int(visible_idx[i]) for i in range(nv) if assignment[i] < m
+        }
+        # cover rows: proven landmarks that could explain a measurement but
+        # did not claim one in this frame's assignment. Two cases:
+        #   * visible + unmatched: the steal cycle (a tight-R candidate
+        #     out-bid the landmark's wider J Sigma J^T + R profit);
+        #   * INVISIBLE under the frustum test on the estimated geometry:
+        #     a landmark at the frustum edge flickers out of the visible set
+        #     while its physical detection (generated under the TRUE
+        #     geometry + fuzzy ramp) is still in Z -- without cover each
+        #     flicker births a near-exact duplicate ~0.02 away (measured:
+        #     the dominant source, 112 of 115 duplicate promotions).
+        # Visible landmarks matched to ANOTHER measurement do NOT cover:
+        # two nearby true landmarks must both stay mappable.
+        cover_rows = [
+            j for j in np.flatnonzero(self.lm_mask_np[: d2_l.shape[0]])
+            if j not in matched_lms
+        ]
+        if cover_rows:
+            gate_rows = d2_l[cover_rows][:, :m] < thr2_f
+            has_cover = gate_rows.any(axis=0)
+        else:
+            has_cover = np.zeros(m, bool)
         for i in range(nv):
             if assignment[i] < m:
                 labels[assignment[i]] = int(visible_idx[i])
@@ -263,12 +324,22 @@ class ISAM2Navigator:
                 ) / (w + 1)
                 self.cand_count[k] = w + 1
                 if self.cand_count[k] >= self.new_landmark_threshold:
-                    labels[zi] = self.next_label
-                    self.next_label += 1
+                    if has_cover[zi]:
+                        # promotion would duplicate a proven landmark: cull
+                        # the candidate without promoting (the measurement
+                        # stream re-associates with the landmark once the
+                        # thief candidate is gone)
+                        labels[zi] = CLUTTER
+                    else:
+                        self._debug_promotion(zi, d2_l, vis, matched_lms)
+                        labels[zi] = self.next_label
+                        self.next_label += 1
                 else:
                     keep[k] = True
         for i in range(m):
             if labels[i] == CLUTTER:
+                if has_cover[i]:
+                    continue  # shadowed by a proven landmark: not a birth
                 if self.new_landmark_threshold <= 1:
                     labels[i] = self.next_label
                     self.next_label += 1
@@ -279,6 +350,27 @@ class ISAM2Navigator:
         self.cand_mean = [c for c, k in zip(self.cand_mean, keep) if k]
         self.cand_count = [c for c, k in zip(self.cand_count, keep) if k]
         return labels
+
+    def _debug_promotion(self, zi, d2_l, vis, matched_lms):
+        """Record a promotion event for diagnosis (tools/isam2_lab.py).
+        Enabled by setting `self.debug_promotions = []`."""
+        events = getattr(self, "debug_promotions", None)
+        if events is None:
+            return
+        live = np.flatnonzero(self.lm_mask_np)
+        info = {"z": int(zi), "label": int(self.next_label)}
+        if len(live):
+            dists = np.linalg.norm(
+                self.landmarks_np[live] - self._backproj[zi], axis=1
+            )
+            jn = int(live[np.argmin(dists)])
+            info.update(
+                nearest=jn, dist=float(dists.min()),
+                nearest_visible=bool(vis[jn]),
+                nearest_matched=jn in matched_lms,
+                nearest_d2=float(d2_l[jn, zi]),
+            )
+        events.append(info)
 
     # ------------------------------------------------------------------
 
@@ -427,7 +519,68 @@ class ISAM2Navigator:
             self.lm_cov[:l_cap] = np.asarray(lm_cov)
             self.pl_cov[:l_cap] = np.asarray(pl_cov)
             self._last_marginals = t
+            if self._merge_duplicates():
+                # relabeled factors: re-solve and refresh the gate state
+                cfg, st, key = self._bucket_state()
+                st = self._solver_for(cfg, key, cfg.gn_iters)(st)
+                t_cap, f_cap, l_cap = key
+                self.poses_np[:t_cap] = np.asarray(st.poses)
+                self.landmarks_np[:l_cap] = np.asarray(st.landmarks)
+                self.pose = self.poses_np[t].copy()
+                lm_cov, pl_cov = self._marginals_for(cfg, key)(st)
+                self.lm_cov[:l_cap] = np.asarray(lm_cov)
+                self.pl_cov[:l_cap] = np.asarray(pl_cov)
         return labels
+
+    def _merge_duplicates(self):
+        """Merge proven landmarks that have collapsed onto each other:
+        pairs whose separation is within `merge_threshold` Mahalanobis
+        (in the summed marginal covariances) become one landmark -- the
+        later label's factors are relabeled to the earlier one.
+
+        OFF by default (merge_threshold=0): the marginal covariances are
+        GLOBAL-frame, so under a weak motion prior the accumulated pose
+        uncertainty dominates them and physically distinct landmarks merge
+        catastrophically (measured: the kinect flat-wall map collapsed from
+        140 labels to 1). A correct criterion needs the relative
+        (cross-covariance) marginal of lm_i - lm_j; with the find_labels
+        cover discipline suppressing duplication at the source, the cleanup
+        pass is not needed for the chap4 grids.
+
+        Duplicates mostly cannot form anymore (see find_labels), but a pair
+        promoted in the same frame from two nearby measurements, or a
+        re-observed landmark whose gate was briefly stale, can still
+        collapse later; without a merge the map keeps both forever (the
+        reference has no equivalent cleanup -- its candidate culling,
+        ISAM2Navigator.cs:425-436, is the only discipline, and its maps
+        duplicate in exactly this way)."""
+        if self.merge_threshold <= 0:
+            return False
+        idx = np.flatnonzero(self.lm_mask_np)
+        if len(idx) < 2:
+            return False
+        merged = False
+        thr2 = float(self.merge_threshold) ** 2
+        for a in range(len(idx)):
+            ia = idx[a]
+            if not self.lm_mask_np[ia]:
+                continue
+            for b in range(a + 1, len(idx)):
+                ib = idx[b]
+                if not self.lm_mask_np[ib]:
+                    continue
+                diff = self.landmarks_np[ia] - self.landmarks_np[ib]
+                c = self.lm_cov[ia] + self.lm_cov[ib]
+                try:
+                    m2 = float(diff @ np.linalg.solve(c, diff))
+                except np.linalg.LinAlgError:
+                    continue
+                if 0 <= m2 < thr2:
+                    sel = self.f_mask_np & (self.f_lm_np == ib)
+                    self.f_lm_np[sel] = ia
+                    self.lm_mask_np[ib] = False
+                    merged = True
+        return merged
 
     # ------------------------------------------------------------------
 

@@ -47,6 +47,13 @@ class LoopyConfig:
     anchor_sigma: float = 0.5  # initial lp-anchor prior std (see init_state)
     gauge_fix: bool = True  # project out the shear gauge mode per sweep
     relinearize: bool = True  # re-anchor lp to the fused estimate per sweep
+    refit: bool = True  # sequential re-localization first pass (see
+    # make_sequential_refit); replaces the causal Jacobi first sweep
+    refit_gate: float = 1.0  # seed radius of the refit pose fit
+    refit_seeds: int = 6  # gradient-ascent starts per refit frame
+    refit_passes: int = 1  # EM iterations: pass k re-localizes against the
+    # map built from pass k-1's corrected trajectory (measured: pass 2 is a
+    # fixed point on every chap5 record -- the default stays at 1)
     ga_iters: int = 8
     ga_steps: int = 4  # parallel line-search fan per iteration
     jmap_cap: int = 32
@@ -441,11 +448,15 @@ def cavity_map_block(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
     if node_mask is None:
         node_mask = jnp.ones((t,), bool)
     fstep = _masked_frame_step(model, icfg, params, map_poses.dtype, step, key)
+    # block ids span the ACTIVE nodes, not the padded capacity: with
+    # max_nodes >> n_nodes a padded-length split would collapse all real
+    # frames into the first block or two
+    n_act = jnp.maximum(jnp.sum(node_mask), 1)
 
     def frame(st, inputs):
         pose_t, z_t, mask_t, tidx, nmask_t = inputs
         if contiguous:
-            excluded = (tidx * b // t) == block_id
+            excluded = (tidx * b // n_act) == block_id
         else:
             excluded = (tidx % b) == block_id
         return fstep(st, pose_t, z_t, mask_t & ~excluded, nmask_t), None
@@ -505,6 +516,149 @@ def causal_maps(model, cfg: LoopyConfig, params, map_poses, z, z_mask,
 
 
 # ----------------------------------------------------------------------
+# sequential refit (the reference's Gauss-Seidel first pass)
+
+
+def make_sequential_refit(model, cfg: LoopyConfig):
+    """Build the jittable sequential re-localization pass:
+    (params, lp, node_mask, odometry, z, z_mask, motion_cov, grad_clip,
+    grad_rate) -> corrected trajectory [T, S].
+
+    The reference's first smoother pass is Gauss-Seidel with a GROWING
+    filter horizon (`tofilter = clock + 1`, LoopyPHDNavigator.cs:375 +
+    FilterMissing :729-763): node t's map message is fitted against the map
+    built from nodes 0..t-1 whose poses were ALREADY corrected earlier in
+    the same pass. That schedule is incremental re-localization -- per-node
+    drift never accumulates (each node is pulled back onto the map before
+    the next node's map is built), and a revisit lap re-enters mapped
+    territory while its accumulated error is still within seed range, which
+    is the reference's loop-closure mechanism. A parallel (Jacobi) causal
+    sweep loses exactly this property: its maps come from the UNCORRECTED
+    trajectory, so a drifted lap only sees its own drifted copies.
+
+    Here the pass is one lax.scan carrying (inner mapping-PHD state,
+    corrected pose). Per frame: predict from the corrected previous pose
+    through the odometry link, fit the per-frame MAP objective
+    quasi_ll(pose) - 0.5 (pose - pred)^T Q^-1 (pose - pred) by seeded
+    gradient ascent (seeds = FitToMeasurement over (landmark, z) pairs,
+    GuidedFitMixture's guesses :777-793), then feed the corrected pose to
+    the mapping filter. The chain prior keeps clutter from teleporting the
+    pose; the measurement term re-anchors it to the map."""
+    icfg = cfg.inner
+    step = phd.make_slam_step(model, icfg, slam=False)
+    o = model.pose.odo_dim
+
+    def refit(params, lp, node_mask, odometry, z, z_mask, motion_cov,
+              grad_clip, grad_rate):
+        t = lp.shape[0]
+        dtype = lp.dtype
+        minfo = gaussian.inv(motion_cov)
+        log_clutter = jnp.log(params.clutter_density)
+        mc = params.meas_cov
+        key = jax.random.PRNGKey(0)
+        zero_odo = jnp.zeros((o,), dtype)
+        pstate0 = phd.init_state(model, icfg, lp[0], dtype)
+
+        def fit_pose(pred, lp_t, jmap, jcov, jvalid, z_t, zm_t):
+            def obj(tg):
+                ll = quasi_ll(model, mc, params.pd, log_clutter, pred, tg,
+                              jmap, jvalid, z_t, zm_t, cfg.beam_width,
+                              jcov=jcov)
+                return ll - 0.5 * jnp.dot(tg, minfo @ tg)
+
+            fit = jax.vmap(
+                jax.vmap(
+                    lambda lm, zz: model.fit_to_measurement(
+                        model.params, pred, zz, lm
+                    ),
+                    in_axes=(None, 0),
+                ),
+                in_axes=(0, None),
+            )(jmap, z_t)  # [J, M, S]
+            tangents = jax.vmap(
+                jax.vmap(lambda g: model.pose.subtract(g, pred))
+            )(fit).reshape(-1, o)
+            dist2 = jnp.sum(tangents * tangents, axis=-1)
+            valid = (jvalid[:, None] & zm_t[None, :]).reshape(-1)
+            valid &= dist2 < cfg.refit_gate ** 2
+            seed_obj = jax.vmap(
+                lambda tg, ok: jnp.where(ok, obj(tg), -jnp.inf)
+            )(tangents, valid)
+            _, top = jax.lax.top_k(seed_obj, cfg.refit_seeds)
+            # fixed guesses: the odometry prediction AND the node's initial
+            # estimate -- a good init stays reachable per frame (it wins the
+            # per-frame MAP score when it is genuinely better), a drifted
+            # init simply loses to the map seeds
+            init_tg = model.pose.subtract(lp_t, pred)
+            guesses = jnp.concatenate(
+                [jnp.zeros((1, o), dtype), init_tg[None, :], tangents[top]],
+                axis=0,
+            )
+            gvalid = jnp.concatenate(
+                [jnp.ones((2,), bool), seed_obj[top] > -jnp.inf]
+            )
+
+            def ga(tg0):
+                def body(_, carry):
+                    x, fx = carry
+                    g = jax.grad(obj)(x)
+                    gn = jnp.sqrt(jnp.sum(g * g))
+                    g = jnp.where(gn > grad_clip, g * (grad_clip / gn), g)
+                    steps = grad_rate / (
+                        4.0 ** jnp.arange(cfg.ga_steps, dtype=dtype)
+                    )
+                    cands = x[None, :] + steps[:, None] * g[None, :]
+                    fc = jax.vmap(obj)(cands)
+                    best = jnp.argmax(fc)
+                    better = fc[best] > fx
+                    return (
+                        jnp.where(better, cands[best], x),
+                        jnp.where(better, fc[best], fx),
+                    )
+
+                return jax.lax.fori_loop(0, cfg.ga_iters, body,
+                                         (tg0, obj(tg0)))
+
+            xs, fs = jax.vmap(ga)(guesses)
+            fs = jnp.where(gvalid & jnp.isfinite(fs), fs, -jnp.inf)
+            best = jnp.argmax(fs)
+            tg = jnp.where(
+                jnp.isfinite(fs[best]), xs[best], jnp.zeros((o,), dtype)
+            )
+            return model.pose.add(pred, tg)
+
+        def frame(carry, inputs):
+            pst, prev_pose = carry
+            lp_t, odo_prev, z_t, zm_t, nm_t, is_first = inputs
+            pred = jnp.where(
+                is_first, lp_t, model.pose.add_odometry(prev_pose, odo_prev)
+            )
+            gm = GM(pst.maps.mean[0], pst.maps.cov[0], pst.maps.logw[0])
+            jidx, jvalid = mixture.best_map_indices(gm.logw, cfg.jmap_cap)
+            corrected = fit_pose(
+                pred, lp_t, gm.mean[jidx], gm.cov[jidx], jvalid, z_t, zm_t
+            )
+            corrected = jnp.where(is_first, lp_t, corrected)
+            pst2 = step(params, pst, zero_odo, z_t, zm_t, key,
+                        true_pose=corrected)
+            pst2 = jax.tree.map(
+                lambda a, b: jnp.where(nm_t, a, b), pst2, pst
+            )
+            pose_out = jnp.where(nm_t, corrected, prev_pose)
+            return (pst2, pose_out), corrected
+
+        is_first = jnp.arange(t) == 0
+        odo_prev = jnp.roll(odometry, 1, axis=0)
+        _, traj = jax.lax.scan(
+            frame, (pstate0, lp[0]),
+            (lp, odo_prev, z, z_mask, node_mask, is_first),
+        )
+        return jnp.where(node_mask[:, None], traj, lp)
+
+    return refit
+
+
+# ----------------------------------------------------------------------
 # guided mixture fitting (GuidedFitMixture, :777-847)
 
 
@@ -539,7 +693,6 @@ def fit_map_message(model, cfg: LoopyConfig, params, lp, pose0, pf_cov, jmap,
     # rejects, or revisit laps can only merge halfway (measured on the
     # chap5 K3 loop world: objective(truth) beats every gated-walk state
     # by >4000 nats, i.e. the true basin was unreachable, not unscored).
-    o_dt = pose0.dtype
     pf_tr_gate = jnp.clip(jnp.trace(pf_cov) / o, 0.0, 1e4)
     seed_r2 = 0.25 + 9.0 * pf_tr_gate  # (0.5^2 + (3 sigma)^2)
     initpose = model.pose.add(lp, pose0)
@@ -861,7 +1014,12 @@ def trajectory_objective(model, cfg: LoopyConfig, params, state: LoopyState,
         model, cfg, params, poses, z, z_mask, state.node_mask,
         contiguous=True,
     )
-    block_ids = jnp.arange(t) * cfg.blocks // t
+    # match cavity_map_block's active-node split (ADVICE r2: padded-length
+    # ids collapse the hold-out when max_nodes >> n_nodes)
+    n_act = jnp.maximum(jnp.sum(state.node_mask), 1)
+    block_ids = jnp.minimum(
+        jnp.arange(t) * cfg.blocks // n_act, cfg.blocks - 1
+    )
     log_clutter = jnp.log(params.clutter_density)
 
     def node_ll(i):

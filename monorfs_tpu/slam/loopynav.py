@@ -69,6 +69,10 @@ class LoopyPHDNavigator:
         self._sweep_causal = jax.jit(
             loopy.make_sweep(model, self.lcfg, causal=True)
         )
+        self._refit = (
+            jax.jit(loopy.make_sequential_refit(model, self.lcfg))
+            if self.lcfg.refit else None
+        )
         self._relinearize = jax.jit(lambda st: loopy.relinearize(model, st))
         self._objective = jax.jit(
             lambda st: loopy.trajectory_objective(
@@ -81,19 +85,37 @@ class LoopyPHDNavigator:
         self.best_objective = -np.inf
 
     def sweep(self):
-        """First pass uses causal (filtering) maps -- the reference's growing
-        tofilter schedule -- anchoring the gauge at the trajectory start;
-        later passes use full leave-block-out cavity maps. The joint
-        trajectory objective is tracked every sweep and the best state kept
-        (loopy BP on this model is not monotone; the runaway regime of
-        over-tight map messages scores itself out)."""
+        """The first pass is the sequential refit -- the reference's
+        Gauss-Seidel growing-tofilter schedule (see make_sequential_refit):
+        each node is re-localized against the map built from the
+        already-corrected prefix, which is both the drift-correction and the
+        loop-closure mechanism. Later passes are Jacobi BP sweeps over
+        leave-block-out cavity maps (smoothing: backward information flow).
+        The joint trajectory objective is tracked every sweep and the best
+        state kept (loopy BP on this model is not monotone)."""
         if self.best_state is None:
             # score the initial estimate so a run that only degrades it
             # falls back to it
             self.best_state = self.state
             self.best_objective = self.objective()
+        if self.sweeps < self.lcfg.refit_passes and self._refit is not None:
+            traj = self._refit(
+                self.params, self.state.lp, self.state.node_mask,
+                self.odometry, self.z, self.z_mask, self.motion_cov,
+                self.grad_clip, self.grad_rate,
+            )
+            self.state = loopy.init_state(
+                self.model, self.lcfg, traj, self.n_nodes, self.dtype
+            )
+            self.sweeps += 1
+            obj = self.objective()
+            if np.isfinite(obj) and obj > self.best_objective:
+                self.best_objective = obj
+                self.best_state = self.state
+            return self
         temperature = jnp.asarray(5.0 / (self.sweeps + 1), self.dtype)
-        fn = self._sweep_causal if self.sweeps == 0 else self._sweep
+        use_causal = self.sweeps == 0 and self._refit is None
+        fn = self._sweep_causal if use_causal else self._sweep
         self.state = fn(
             self.params, self.state, self.odometry, self.z, self.z_mask,
             temperature, self.grad_clip, self.grad_rate, self.motion_cov,
