@@ -46,6 +46,8 @@ def main():
         beam_meas_cap=24,
         beam_candidates=6,
         merge_rounds=4,
+        meas_compact=24,  # typical frame fills ~12 of 48 slots; all [M, K]
+        # pair work scales with the static M (see PHDConfig.meas_compact)
     )
     profile_dir = None
     if "--profile" in sys.argv:

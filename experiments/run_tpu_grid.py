@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Reference-scale experiment grid through the TPU float32 hot path.
+
+The CPU grid (run_experiments.py) validates semantics at reduced scale in
+float64; this grid runs the reference's actual operating points -- 800
+particles for chap3/chap4 and the 20/100/800/2000 particle sweep
+(reference: mono-rfs/plots/scripts/chap3/S1-phd-odometry.sh:13,
+chap3/S4-particles.sh:14, chap4/S1-baseline.sh:13) -- in float32 on the
+real chip, the deployment configuration.
+
+Two kinds of numbers, measured separately on purpose:
+  * accuracy artifacts (recording zips + postanalysis .data files) come
+    from the Simulation driver (the same code path as the CPU grid, so the
+    rows are directly comparable);
+  * throughput comes from the fully-jitted scan runner (bench_core) at the
+    same shapes -- the driver's host loop pays tunnel dispatch latency per
+    frame that the compiled scan does not, so driver wall-clock would
+    under-report the chip.
+
+Usage:
+  python experiments/run_tpu_grid.py chap3-s1 [--outdir out-tpu]
+  python experiments/run_tpu_grid.py chap3-s4     # 20/100/800/2000 sweep
+  python experiments/run_tpu_grid.py chap4-default
+  python experiments/run_tpu_grid.py throughput   # scan-runner fps sweep
+  python experiments/run_tpu_grid.py all
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+HERE = pathlib.Path(__file__).parent
+ROOT = HERE.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(HERE))
+
+import run_experiments as G  # noqa: E402  (shared runners; no _setup here)
+
+
+def check_backend():
+    import jax
+
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        print(f"WARNING: running the 'TPU grid' on backend={backend}",
+              file=sys.stderr)
+    return backend
+
+
+def chap3_s1_tpu(outdir):
+    return G.chap3_s1(outdir, particles=800)
+
+
+def chap3_s4_tpu(outdir):
+    return G.chap3_s4(outdir, sweep=(20, 100, 800, 2000))
+
+
+def chap4_default_tpu(outdir):
+    return G.chap4_s1(outdir, variant="default", particles=800)
+
+
+def throughput(outdir):
+    """Scan-runner frames/s at the sweep particle counts (the wall-clock
+    column for the accuracy rows above; one fused lax.scan per chunk, no
+    per-frame host round trips)."""
+    import jax.numpy as jnp
+
+    from monorfs_tpu.bench_core import run_benchmark
+    from monorfs_tpu.config import Config
+    from monorfs_tpu.slam.phd import PHDConfig
+
+    cfg = Config.from_file(HERE / "configs" / "chap3-default.cfg")
+    stats = {}
+    for p in (20, 100, 200, 800, 2000):
+        pcfg = PHDConfig(
+            num_particles=p,
+            max_components=128,
+            max_measurements=48,
+            gate_top=8,
+            estimate_cap=48,
+            beam_width=32,
+            beam_meas_cap=24,
+            beam_candidates=6,
+            merge_rounds=4,
+        )
+        r = run_benchmark(
+            ROOT / "assets" / "sim3d.world",
+            ROOT / "assets" / "mov3d.in",
+            particles=p,
+            frames=300,
+            dtype=jnp.float32,
+            cfg=cfg,
+            phd_cfg=pcfg,
+        )
+        stats[p] = {
+            "fps": round(r["fps"], 1),
+            "step_ms": round(1e3 / r["fps"], 3),
+            "ate_rmse_loc": round(r["ate_rmse_loc"], 4),
+            "compile_s": round(r["compile_s"], 1),
+            "device": r["device"],
+        }
+        print(f"  {p} particles: {stats[p]}", flush=True)
+    return stats
+
+
+EXPERIMENTS = {
+    "chap3-s1": chap3_s1_tpu,
+    "chap3-s4": chap3_s4_tpu,
+    "chap4-default": chap4_default_tpu,
+    "throughput": throughput,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("experiment", choices=list(EXPERIMENTS) + ["all"])
+    ap.add_argument("--outdir", default=str(HERE / "out-tpu"))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    backend = check_backend()
+
+    outdir = pathlib.Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    todo = list(EXPERIMENTS) if args.experiment == "all" else [args.experiment]
+    for name in todo:
+        print(f"=== {name} (backend={backend}, float32) ===", flush=True)
+        t0 = time.time()
+        stats = EXPERIMENTS[name](outdir)
+        stats["_grid_wall_s"] = round(time.time() - t0, 1)
+        stats["_backend"] = backend
+        for k, v in stats.items():
+            print(f"  {k}: {v}", flush=True)
+        with open(outdir / f"{name}.stats.json", "w") as f:
+            json.dump(stats, f, indent=1, default=str)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,13 @@ def main(argv=None):
             rec.odometry = rec.odometry[: args.frames]
             rec.trajectory = rec.trajectory[: args.frames]
             rec.measurements = rec.measurements[: args.frames]
+            # estimate history must shrink with the cap too: the loopy
+            # navigator sizes its pose chain from the final estimate
+            # snapshot and indexes odometry[node + 1] across it
+            rec.estimate = [
+                (t, traj[: args.frames])
+                for t, traj in rec.estimate[: args.frames]
+            ]
 
     t0 = time.time()
     sim = Simulation(

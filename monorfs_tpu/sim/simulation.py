@@ -179,8 +179,12 @@ class Simulation:
         elif self.algorithm == "loopy":
             # offline smoother: an inner online pass provides the initial
             # estimate (LoopyPHDNavigator ctor semantics,
-            # LoopyPHDNavigator.cs:223-246); sweeps run in run()
-            self.loopy_sweeps = 12
+            # LoopyPHDNavigator.cs:223-246); sweeps run in run().
+            # 6 = the sequential-refit pass + 5 Jacobi smoothing sweeps:
+            # on every chap5 record the refit dominates and later sweeps
+            # only fine-tune (best-objective selection keeps the winner),
+            # so the reference's larger tick budget buys nothing here
+            self.loopy_sweeps = 6
             self.mode_mapping = False
         else:
             raise ValueError(f"unknown algorithm {self.algorithm}")
@@ -510,9 +514,12 @@ class Simulation:
         self.frames = [
             {"poses": traj[i][None, :], "best": 0} for i in range(len(traj))
         ]
-        final_map = self.loopy.map_model()
+        # per-frame map history over the final fused trajectory: the
+        # recording's OSPA series is meaningful at every frame (round-2 bug:
+        # all frames but the last carried an empty map)
+        hist = self.loopy.map_history()
         self.way_maps = [
-            (t, final_map if i == len(inner.way_maps) - 1 else [])
+            (t, hist[i] if i < len(hist) else (hist[-1] if hist else []))
             for i, (t, _) in enumerate(inner.way_maps)
         ]
         return self

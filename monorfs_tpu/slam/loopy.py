@@ -1035,9 +1035,16 @@ def trajectory_objective(model, cfg: LoopyConfig, params, state: LoopyState,
     return jnp.sum(chain) + jnp.sum(map_term)
 
 
-def final_map(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask):
+def final_map(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask,
+              history=False):
     """Map estimate: mapping-PHD filter over the fused trajectory
-    (BestMapModel/Filter, :186-197, :716-719)."""
+    (BestMapModel/Filter, :186-197, :716-719).
+
+    history=True additionally returns the per-frame map snapshots (the map
+    after filtering frames 0..t) as a GM with leading [T] axis -- the
+    recording's maps.out time series (UpdateMapHistory, Navigator.cs:269),
+    so the OSPA series of a smoother recording is meaningful at every
+    frame, not just the endpoint."""
     pf_mean, _ = _fuse(
         state.past_mean, state.past_cov, state.future_mean, state.future_cov
     )
@@ -1050,7 +1057,17 @@ def final_map(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask):
 
     def frame(st, inputs):
         pose_t, z_t, mask_t, nmask_t = inputs
-        return fstep(st, pose_t, z_t, mask_t, nmask_t), None
+        st2 = fstep(st, pose_t, z_t, mask_t, nmask_t)
+        out = (
+            GM(st2.maps.mean[0], st2.maps.cov[0], st2.maps.logw[0])
+            if history else None
+        )
+        return st2, out
 
-    st, _ = jax.lax.scan(frame, state0, (poses, z, z_mask, state.node_mask))
-    return GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
+    st, hist = jax.lax.scan(
+        frame, state0, (poses, z, z_mask, state.node_mask)
+    )
+    final = GM(st.maps.mean[0], st.maps.cov[0], st.maps.logw[0])
+    if history:
+        return final, hist
+    return final

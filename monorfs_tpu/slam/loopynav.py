@@ -160,6 +160,26 @@ class LoopyPHDNavigator:
     def map_model(self):
         gm = loopy.final_map(self.model, self.lcfg, self.params,
                              self.result_state, self.z, self.z_mask)
+        return self._gm_components(gm)
+
+    def map_history(self):
+        """Per-frame map snapshots over the final fused trajectory (the
+        maps.out series; see loopy.final_map history semantics). Returns a
+        list of component lists, one per node."""
+        _, hist = loopy.final_map(
+            self.model, self.lcfg, self.params, self.result_state, self.z,
+            self.z_mask, history=True,
+        )
+        hist = jax.tree.map(np.asarray, hist)
+        return [
+            self._gm_components(
+                mixture.GM(hist.mean[i], hist.cov[i], hist.logw[i])
+            )
+            for i in range(self.n_nodes)
+        ]
+
+    @staticmethod
+    def _gm_components(gm):
         alive = np.asarray(mixture.alive(gm))
         w = np.asarray(mixture.weights(gm))
         return [

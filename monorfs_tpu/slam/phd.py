@@ -72,6 +72,14 @@ class PHDConfig:
     # Valid measurements are compacted to the front before the weight-update
     # beam, so a cap below max_measurements only drops measurements in
     # crowded frames (mirrors the reference's own hypothesis truncation).
+    meas_compact: int = 0  # compact the measurement axis for the WHOLE step
+    # (births + correct + weight) to this many slots, gathered live-first,
+    # once per frame before the per-particle vmap. The static measurement
+    # capacity is usually sized for the worst case (every landmark visible +
+    # clutter) while a typical frame fills ~1/4 of it; all [M, K] pair work
+    # scales with the static M, so compaction cuts the correct stage nearly
+    # proportionally. 0 = off; a cap below the live count in a crowded
+    # frame drops the trailing measurements (like beam_meas_cap).
 
 
 class PHDParams(NamedTuple):
@@ -510,6 +518,11 @@ def make_slam_step(model, cfg: PHDConfig, slam: bool = True,
         state = predict_poses(
             model, params, state, odometry, kmotion, slam, true_pose
         )
+        if cfg.meas_compact and cfg.meas_compact < cfg.max_measurements:
+            # live-first stable compaction, shared by all particles
+            order = jnp.argsort(~z_mask, stable=True)[: cfg.meas_compact]
+            z = z[order]
+            z_mask = z_mask[order]
         zl = [z[:, i] for i in range(d)]
         corrected, dlog = jax.vmap(
             lambda pose, maps: per_particle(params, pose, maps, zl, z_mask)

@@ -5,6 +5,10 @@ The sequence-parallel axis of SURVEY §5 (pose chain block-sharded over the
 mesh, ppermute halos); reference schedule being parallelized:
 LoopyPHDNavigator.cs:369-377."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end runs; deselect with -m "not slow"
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -114,3 +114,97 @@ def test_kinect_source_pipeline():
     # ranges must be >= depth (range >= z distance)
     assert np.all(z1[:, 2] >= 1.5 - 1e-6)
     assert np.all(z1[:, 2] < 3.0)
+
+
+def _write_png(path, arr, bitdepth=8):
+    """Minimal PNG encoder (filter 0 rows) for fixture generation."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    color = 2 if arr.ndim == 3 else 0
+    if bitdepth == 16:
+        payload = arr.astype(">u2").tobytes()
+        bpp = 2 * (3 if color == 2 else 1)
+    else:
+        payload = arr.astype(np.uint8).tobytes()
+        bpp = 3 if color == 2 else 1
+    stride = w * bpp
+    raw = b"".join(
+        b"\x00" + payload[r * stride : (r + 1) * stride] for r in range(h)
+    )
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return (
+            struct.pack(">I", len(data)) + c
+            + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, color, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw)))
+        f.write(chunk(b"IEND", b""))
+
+
+def test_convert_tum_roundtrip(tmp_path):
+    """convert_tum (the video2oni replacement, video2oni.cpp:335-480) must
+    decode real 16-bit depth + 8-bit RGB PNGs, apply the TUM depth scale,
+    gray-convert, and associate each depth frame with the nearest rgb
+    timestamp."""
+    from monorfs_tpu.frontend.dataset import RGBDDataset, convert_tum
+
+    d = tmp_path / "tum"
+    (d / "depth").mkdir(parents=True)
+    (d / "rgb").mkdir()
+    rng = np.random.default_rng(7)
+    h, w = 24, 32
+    depth_lines, rgb_lines = [], []
+    true_depths, true_grays = [], []
+    for i in range(3):
+        t = 10.0 + i * 0.0333
+        dm = rng.uniform(0.5, 3.0, size=(h, w)).astype(np.float32)
+        d16 = np.round(dm * 5000.0).astype(np.uint16)
+        _write_png(d / "depth" / f"{i}.png", d16, bitdepth=16)
+        depth_lines.append(f"{t:.4f} depth/{i}.png")
+        true_depths.append(d16.astype(np.float32) / 5000.0)
+        rgb = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        # rgb timestamps slightly offset: nearest-association must pick i
+        _write_png(d / "rgb" / f"{i}.png", rgb)
+        rgb_lines.append(f"{t + 0.005:.4f} rgb/{i}.png")
+        true_grays.append(rgb.mean(axis=-1).astype(np.uint8))
+    (d / "depth.txt").write_text(
+        "# depth maps\n" + "\n".join(depth_lines) + "\n"
+    )
+    (d / "rgb.txt").write_text("# rgb\n" + "\n".join(rgb_lines) + "\n")
+
+    out = convert_tum(str(d), str(tmp_path / "seq.npz"))
+    ds = RGBDDataset(out)
+    assert len(ds) == 3
+    for i in range(3):
+        t, depth, gray = ds.frame(i)
+        np.testing.assert_allclose(depth, true_depths[i], atol=1e-4)
+        np.testing.assert_array_equal(gray, true_grays[i])
+    # max_frames truncation
+    out2 = convert_tum(str(d), str(tmp_path / "seq2.npz"), max_frames=2)
+    assert len(RGBDDataset(out2)) == 2
+
+
+def test_pure_python_png_decoder_16bit(tmp_path):
+    """_load_png_py must decode the same fixtures as the native fast path
+    (it is the fallback when librfsio is unavailable)."""
+    from monorfs_tpu.frontend.dataset import _load_png_py
+
+    rng = np.random.default_rng(8)
+    d16 = rng.integers(0, 65535, size=(16, 20)).astype(np.uint16)
+    p = tmp_path / "d.png"
+    _write_png(p, d16, bitdepth=16)
+    out = _load_png_py(p.read_bytes())
+    np.testing.assert_array_equal(out, d16)
+
+    rgb = rng.integers(0, 255, size=(16, 20, 3)).astype(np.uint8)
+    p2 = tmp_path / "c.png"
+    _write_png(p2, rgb)
+    np.testing.assert_array_equal(_load_png_py(p2.read_bytes()), rgb)

@@ -6,6 +6,10 @@ Reference anchors: ISAM2Navigator.cs:256-441 (Perfect DA),
 Vehicle.cs:117-127 + PHDNavigator.cs:724-760 (WayPoints cloning on
 resample), postanalysis/Plot.cs:325-369 (history modes)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end runs; deselect with -m "not slow"
+
 import numpy as np
 
 from monorfs_tpu.io import Recording
@@ -124,3 +128,33 @@ def test_postanalysis_history_modes(tmp_path):
     vals_f = [v for _, v in res_f["loc"]]
     vals_t = [v for _, v in res_t["loc"]]
     assert not np.allclose(vals_f, vals_t)
+
+
+def test_loopy_recording_map_history(tmp_path):
+    """Smoother recordings carry a real per-frame map series (round-2 bug:
+    every frame but the last had an empty map, making the OSPA series
+    meaningless except at its endpoint)."""
+    cfg = linear2d_config()
+    world = World.from_file(ASSETS / "linear2d.world")
+    commands = parse_commands((ASSETS / "mov2d.in").read_text())[:30]
+    base = Simulation(cfg, world, commands, algorithm="odometry",
+                      seed=3, dtype=np.float64)
+    base.run()
+    odofile = tmp_path / "odo.zip"
+    base.save(odofile)
+
+    sim = Simulation(cfg, world, [], algorithm="loopy", particles=1,
+                     seed=3, dtype=np.float64,
+                     replay=Recording.load(odofile))
+    sim.loopy_sweeps = 2
+    sim.run()
+    recfile = tmp_path / "loopy.zip"
+    sim.save(recfile)
+    rec = Recording.load(recfile)
+
+    sizes = [len(m) for _, m in rec.maps]
+    assert len(sizes) >= 25
+    # growing-map filter over the fused trajectory: nonempty well before
+    # the endpoint and nondecreasing in the large
+    assert sizes[len(sizes) // 2] > 0
+    assert sizes[-1] > 0

@@ -8,6 +8,10 @@ ground truth — coverage the reference lacks entirely (SURVEY §4 gaps:
 no ISAM2Navigator or KinectVehicle tests). Reference pipeline being
 validated: KinectVehicle.cs:503-576 -> ISAM2Navigator.cs:192-248."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end runs; deselect with -m "not slow"
+
 import numpy as np
 
 from monorfs_tpu.config import Config

@@ -1,6 +1,10 @@
 """Loopy-PHD smoother tests (mirrors LoopyPHDNavigatorTest oracle style plus
 an end-to-end improvement check in the Linear2D world)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end runs; deselect with -m "not slow"
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -4,6 +4,10 @@ checks the full pipeline generalizes to Pose3D tangent spaces: quaternion
 manifold transport in relinearize, FitToMeasurement seeding, autodiff
 Hessian covariances (LoopyPHDNavigator.cs semantics on the PRM3D family)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end runs; deselect with -m "not slow"
+
 import numpy as np
 import jax
 

@@ -5,6 +5,10 @@ CPU devices each, brought up through monorfs_tpu.parallel.multihost
 This is the no-cluster validation of the BASELINE multi-host configuration
 (SURVEY §2 parallelism table: "multi-host via jax.distributed")."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end runs; deselect with -m "not slow"
+
 import json
 import os
 import pathlib

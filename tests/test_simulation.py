@@ -1,6 +1,10 @@
 """End-to-end simulation tests (mirrors SimulationTest.cs's statistical
 style): mapping accuracy, SLAM vs odometry, recording roundtrip."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end runs; deselect with -m "not slow"
+
 import pathlib
 
 import numpy as np
