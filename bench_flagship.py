@@ -195,6 +195,11 @@ def main():
             if "memory" not in str(e).lower() and "hbm" not in str(e).lower():
                 raise
             particles //= 2
+    if t_phd is None:
+        raise RuntimeError(
+            f"sharded PHD step OOMed at every particle count down to 1024 "
+            f"on {n} device(s); nothing to report"
+        )
     print(json.dumps({
         "metric": "sharded PHD step", "particles": particles,
         "requested_particles": args.particles,

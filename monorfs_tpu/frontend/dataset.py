@@ -181,6 +181,59 @@ def synthesize_rgbd(output, frames=60, h=240, w=320, seed=0,
     return output, np.asarray(offsets)
 
 
+def synthesize_rgbd_parallax(output, frames=40, h=120, w=160, focal=200.0,
+                             seed=0, travel=0.25, n_patches=70):
+    """True 3D perspective render with parallax: bright frontoparallel
+    square patches at varied depths in front of a far wall, camera
+    translating laterally along +x. Unlike the texture-scroll wall
+    (synthesize_rgbd), nearby patches shift more pixels per frame than
+    distant ones -- the depth structure is real, so a SLAM run against this
+    stream exercises genuine 3D geometry and has an ANALYTIC ground-truth
+    trajectory. Returns (path, true_x [T]) with true_x the camera
+    x-position per frame (y = z = 0, identity orientation, looking +z)."""
+    rng = np.random.default_rng(seed)
+    cx, cy = w / 2.0, h / 2.0
+    z_bg = 3.0
+    # patch centers spread to cover the swept frustum
+    span_x = (w / 2.0) / focal * z_bg + travel
+    span_y = (h / 2.0) / focal * z_bg
+    px = rng.uniform(-span_x, span_x + travel, n_patches)
+    py = rng.uniform(-span_y * 0.9, span_y * 0.9, n_patches)
+    pz = rng.uniform(1.2, 2.4, n_patches)
+    ps = rng.uniform(0.06, 0.16, n_patches)  # world-unit square size
+    shade = rng.integers(110, 255, n_patches)
+    order = np.argsort(-pz)  # painter's algorithm: far to near
+
+    times, depths, grays, xs = [], [], [], []
+    for i in range(frames):
+        x_t = travel * i / max(frames - 1, 1)
+        gray = np.full((h, w), 40, np.uint8)
+        depth = np.full((h, w), z_bg, np.float32)
+        for j in order:
+            half = ps[j] / 2.0
+            u0 = focal * (px[j] - half - x_t) / pz[j] + cx
+            u1 = focal * (px[j] + half - x_t) / pz[j] + cx
+            v0 = focal * (py[j] - half) / pz[j] + cy
+            v1 = focal * (py[j] + half) / pz[j] + cy
+            iu0, iu1 = max(int(np.ceil(u0)), 0), min(int(np.floor(u1)) + 1, w)
+            iv0, iv1 = max(int(np.ceil(v0)), 0), min(int(np.floor(v1)) + 1, h)
+            if iu0 >= iu1 or iv0 >= iv1:
+                continue
+            gray[iv0:iv1, iu0:iu1] = shade[j]
+            depth[iv0:iv1, iu0:iu1] = pz[j]
+        times.append(i / 30.0)
+        depths.append(depth)
+        grays.append(gray)
+        xs.append(x_t)
+    np.savez_compressed(
+        output,
+        time=np.asarray(times),
+        depth=np.stack(depths),
+        gray=np.stack(grays),
+    )
+    return output, np.asarray(xs)
+
+
 class RGBDDataset:
     """Loader for converted npz RGB-D streams."""
 

@@ -99,3 +99,46 @@ def test_kinect_run_embeds_sidebar(tmp_path):
     assert rec.sidebar, "kinect run should embed sidebar.avi"
     jpegs = avi.read_mjpeg(__import__("io").BytesIO(rec.sidebar))
     assert len(jpegs) == frames
+
+
+def test_kinect_isam2_parallax_scene(tmp_path):
+    """True-3D parallax render (synthesize_rgbd_parallax): patches at
+    different depths shift at different pixel rates, so recovering the
+    camera translation requires using the per-keypoint DEPTH correctly --
+    a flat-wall pan cannot catch a wrong focal/depth coupling. Analytic
+    ground truth: the camera x-position series."""
+    from monorfs_tpu.frontend.dataset import synthesize_rgbd_parallax
+
+    h, w, frames, focal = 120, 160, 16, 200.0
+    path, true_x = synthesize_rgbd_parallax(
+        tmp_path / "parallax.npz", frames=frames, h=h, w=w, focal=focal,
+        seed=5, travel=0.15,
+    )
+    cam = KinectParams(
+        focal=focal, film_left=-w / 2, film_top=-h / 2, film_width=w,
+        film_height=h, range_min=0.1, range_max=5.0, res_x=w, res_y=h,
+        border=1,
+    )
+    src = KinectSource(RGBDDataset(path), camera=cam, delta=1,
+                       max_keypoints=128, threshold=40.0)
+    world = World(
+        pose=np.array([0, 0, 0, 1, 0, 0, 0.0]),
+        landmarks=np.zeros((0, 3)),
+        measurer_params=np.asarray(cam.to_linear()),
+    )
+    cfg = Config()
+    cfg.motion_covariance = np.diag([10.0, 10, 10, 0.1, 0.1, 0.1])
+    sim = Simulation(cfg, world, [], algorithm="isam2", particles=1,
+                     kinect_source=src, dtype=np.float64)
+    sim.run()
+
+    traj = sim.isam2.trajectory
+    est_x = traj[1:, 0] - traj[1, 0]
+    want = true_x - true_x[0]
+    assert want[-1] > 0.1
+    err = np.abs(est_x - want)
+    ate = float(np.sqrt(np.mean(err ** 2)))
+    assert err[-1] < 0.35 * want[-1], (est_x[-1], want[-1])
+    assert ate < 0.05, ate
+    assert np.max(np.abs(traj[1:, 1] - traj[1, 1])) < 0.1
+    assert np.max(np.abs(traj[1:, 2] - traj[1, 2])) < 0.1
