@@ -7,6 +7,7 @@ import pathlib
 import sys
 
 HERE = pathlib.Path(__file__).parent
+NOTES_FILE = HERE / "NOTES.md"
 
 
 def main(outdir=None):
@@ -53,6 +54,37 @@ def main(outdir=None):
                 f"| {exp} | {alg} | {fmt(loc)} | {fmt(rot)} | {fmt(ospa)} "
                 f"| {fmt(el, 4)} |"
             )
+    tpu_dir = outdir.parent / "out-tpu"
+    if tpu_dir.is_dir() and list(tpu_dir.glob("*.stats.json")):
+        lines += [
+            "",
+            "## TPU float32 grid (experiments/out-tpu, run_tpu_grid.py)",
+            "",
+            "Reference-scale particle counts through the jitted float32 hot "
+            "path on the real chip (chap3/S1-phd-odometry.sh:13 uses 800; "
+            "chap3/S4-particles.sh:14 sweeps 20/100/800/2000).",
+            "",
+            "| experiment | algorithm/particles | ATE loc RMSE | "
+            "ATE rot RMSE | final OSPA | elapsed s |",
+            "|---|---|---|---|---|---|",
+        ]
+        for f in sorted(tpu_dir.glob("*.stats.json")):
+            stats = json.load(open(f))
+            exp = f.name.replace(".stats.json", "")
+            for alg, s in stats.items():
+                if not isinstance(s, dict):
+                    continue
+                lines.append(
+                    f"| {exp} | {alg} | {fmt(s.get('ate_loc_rmse'))} "
+                    f"| {fmt(s.get('ate_rot_rmse'))} "
+                    f"| {fmt(s.get('final_ospa'))} "
+                    f"| {fmt(s.get('elapsed_s'), 4)} |"
+                )
+
+    notes = NOTES_FILE
+    if notes.is_file():
+        lines += ["", notes.read_text().rstrip()]
+
     out = outdir / "SUMMARY.md"
     out.write_text("\n".join(lines) + "\n")
     print("\n".join(lines))

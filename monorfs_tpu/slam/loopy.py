@@ -957,9 +957,15 @@ def relinearize(model, state: LoopyState):
 
     Tangent transport: a message mean m at old lp becomes
     subtract(add(lp, m), lp') at lp'. For the linear models this is exactly
-    m - delta; for Pose3D the covariance transport Jacobian is within
-    O(|delta|) of identity and delta <= anchor_sigma per sweep, so
-    covariances are carried unchanged."""
+    m - delta. For Pose3D the covariance transport Jacobian is within
+    O(|delta|) of identity, and the per-sweep step is bounded by
+    sqrt(anchor_sigma^2 + pf_tr) (the pf_cov-widened anchor of
+    fit_map_message, up to ~10x anchor_sigma while the chain marginal is
+    still wide), so covariances are carried untransported. The
+    approximation is coarsest in the early sweeps -- exactly when the
+    messages are diffuse and their covariances least informative -- and
+    tightens as pf_cov contracts toward anchor_sigma-sized steps near
+    convergence, which is when untransported covariances would matter."""
     new_lp = model.pose.add(state.lp, state.fused_mean)
 
     def move(mean):
