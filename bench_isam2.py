@@ -14,6 +14,60 @@ HERE = pathlib.Path(__file__).parent
 sys.path.insert(0, str(HERE))
 
 
+def main_scan():
+    """--scan: the fully-jitted known-DA graph backend on the default device
+    (the TPU when the tunnel is up) in float32 — one lax.scan over frames,
+    no host round-trips (slam/isam2_scan.py; reference known-DA config
+    chap4/known.cfg, isam2.cpp:199-246)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(HERE / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monorfs_tpu.config import Config
+    from monorfs_tpu.io import World, parse_commands
+    from monorfs_tpu.slam.isam2_scan import build_isam2_scan_runner
+
+    frames = int(sys.argv[sys.argv.index("--frames") + 1]) \
+        if "--frames" in sys.argv else 300
+    cfg = Config()
+    world = World.from_file(HERE / "assets" / "sim3d.world")
+    cmds = np.stack([
+        c[:6] for c in parse_commands((HERE / "assets" / "mov3d.in").read_text())
+    ])
+    reps = int(np.ceil(frames / len(cmds)))
+    cmds = jnp.asarray(np.tile(cmds, (reps, 1))[:frames], jnp.float32)
+
+    runner, carry, model = build_isam2_scan_runner(
+        cfg, world, frames=frames, gn_iters=1, dtype=jnp.float32
+    )
+    t0 = time.perf_counter()
+    _, (tp, ep) = runner(carry, cmds)
+    np.asarray(ep)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, (tp, ep) = runner(carry, cmds)
+    tp, ep = np.asarray(tp), np.asarray(ep)
+    elapsed = time.perf_counter() - t0
+    fps = frames / elapsed
+    ate = float(np.sqrt(np.mean(np.sum((tp[:, :3] - ep[:, :3]) ** 2, -1))))
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": "frames/sec isam2-equivalent 3D sim (jitted scan, known DA)",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+    print(json.dumps({"detail": {
+        "frames": frames, "elapsed_s": round(elapsed, 4),
+        "compile_s": round(compile_s, 2), "ate_rmse_loc": round(ate, 4),
+        "backend": dev.platform, "device": str(dev.device_kind),
+        "dtype": "float32", "gn_iters_per_frame": 1,
+    }}), file=sys.stderr)
+
+
 def main():
     import jax
 
@@ -69,4 +123,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--scan" in sys.argv:
+        main_scan()
+    else:
+        main()

@@ -133,7 +133,9 @@ class Simulation:
         self.way_maps = []  # (t, [(w, mean, cov)])
         self.way_vismaps = []  # (t, [(w, mean, cov)])
         self.frames = []  # per-frame dict: poses [P,S], parents [P], best
-        self.sidebar_frames = []  # sensor-view images (kinect runs)
+        self.sidebar_frames = []  # sensor-view JPEG payloads (kinect runs);
+        # encoded at capture so a long recording holds ~KB per frame of
+        # compressed bytes instead of a full uint8 RGB array each
         self.tags = []
         self.time = 0.0
         self.frame_index = 0
@@ -253,7 +255,9 @@ class Simulation:
             x, y = int(px + w / 2), int(py + h / 2)
             if 1 <= x < w - 1 and 1 <= y < h - 1:
                 rgb[y - 1:y + 2, x - 1:x + 2] = (255, 64, 64)
-        self.sidebar_frames.append(rgb)
+        from ..io import avi
+
+        self.sidebar_frames.append(avi._jpeg_encode(rgb)[0])
 
     def _replay_frame(self):
         """RecordVehicle playback (RecordVehicle.cs:150-240): pose from the

@@ -282,7 +282,11 @@ def gauss_newton(model, cfg: GraphConfig, state: GraphState, motion_info,
             poses=new_poses, landmarks=st.landmarks + dxl
         )
 
-    state = jax.lax.fori_loop(0, cfg.gn_iters, iteration, state)
+    # pin matmuls to true float32: the TPU default (bfloat16 MXU passes) is
+    # fine for the PHD likelihood stages but destroys the normal equations'
+    # conditioning -- measured NaN at T~300 poses on-chip, clean on CPU f32
+    with jax.default_matmul_precision("highest"):
+        state = jax.lax.fori_loop(0, cfg.gn_iters, iteration, state)
     return state
 
 
@@ -297,6 +301,16 @@ def marginals(model, cfg: GraphConfig, state: GraphState, motion_info,
     o = model.pose.odo_dim
     t, l = cfg.max_poses, cfg.max_landmarks
 
+    # float32 matmuls end-to-end (see gauss_newton): marginal covariances
+    # inherit the same conditioning sensitivity as the solve itself
+    with jax.default_matmul_precision("highest"):
+        return _marginals_impl(
+            model, cfg, state, motion_info, meas_info, meas_cov, o, t, l
+        )
+
+
+def _marginals_impl(model, cfg, state, motion_info, meas_info, meas_cov,
+                    o, t, l):
     hpp, hpl, hll, bp, bl = build_normal_equations(
         model, cfg, state, motion_info, meas_info
     )
