@@ -66,6 +66,7 @@ class Config:
     # KinectVehicle
     kinect_delta: int = 4
     keypoint_filter: bool = True
+    sidebar_jpeg_quality: int = 85
 
     # Navigator
     show_visible: bool = False
@@ -166,6 +167,7 @@ class Config:
         "VisibilityRamp": ("visibility_ramp", "vector"),
         "KinectDelta": ("kinect_delta", int),
         "KeypointFilter": ("keypoint_filter", bool),
+        "SidebarJpegQuality": ("sidebar_jpeg_quality", int),
         "ShowVisible": ("show_visible", bool),
         "DensityDistanceThreshold": ("density_distance_threshold", float),
         "BirthCovariance": ("birth_covariance", "matrix"),

@@ -217,6 +217,43 @@ def evaluate_many_soa(sgm: SGM, points, radius=None):
     return jnp.sum(vals, axis=-1)
 
 
+def log_evaluate_many_soa(sgm: SGM, points, radius=None):
+    """Log mixture density at many points, computed fully in log space.
+
+    The linear-space twin (evaluate_many_soa) underflows to exactly 0 in
+    float32 whenever every component contribution has log-density below
+    ~-87 (float32 min normal 1.2e-38); `log(0) = -inf` then poisons the
+    particle-weight increment (WeightAlpha, PHDNavigator.cs:373-393) and
+    the NaN guard in make_slam_step silently skips the whole frame's
+    weight update -- the round-3 TPU-f32 accuracy regression. Log space
+    keeps the value exact down to DEAD regardless of dtype.
+
+    Returns [..., E] log densities (DEAD-order negative where no component
+    is alive/in radius)."""
+    cov = sgm.cov_mat()
+    dt = smallmat.det(cov)
+    inv = smallmat.inv(cov, dt)
+    logmult = smallmat.log_multiplier(cov, dt)
+    diff = [
+        p[..., :, None] - m[..., None, :]
+        for p, m in zip(points, sgm.mean_list())
+    ]  # [..., E, K]
+    inv_e = [[entry[..., None, :] for entry in row] for row in inv]
+    m2 = smallmat.quadform(diff, inv_e)
+    logp = logmult[..., None, :] - 0.5 * m2
+    logp = jnp.where(jnp.isfinite(logp), logp, DEAD)
+    mask = (sgm.logw > ALIVE_THRESHOLD)[..., None, :]
+    if radius is not None:
+        dist2 = sum(d * d for d in diff)
+        mask = mask & (dist2 <= radius * radius)
+    scores = jnp.where(mask, sgm.logw[..., None, :] + logp, DEAD)
+    peak = jnp.max(scores, axis=-1)
+    out = peak + jnp.log(
+        jnp.sum(jnp.exp(scores - peak[..., None]), axis=-1)
+    )
+    return jnp.maximum(out, DEAD)
+
+
 def best_map_indices(logw, cap=None, max_multiplicity=4):
     """Marginal multi-object (MAP) estimate selection (Map.cs:119-142):
     pick floor(sum w) components greedily by weight, decrementing the chosen

@@ -12,7 +12,7 @@ import io
 import struct
 
 
-def _jpeg_encode(frame, quality=85):
+def jpeg_encode(frame, quality=85):
     from PIL import Image
     import numpy as np
 
@@ -29,6 +29,9 @@ def _jpeg_encode(frame, quality=85):
     return buf.getvalue(), img.size  # (bytes, (w, h))
 
 
+_jpeg_encode = jpeg_encode  # back-compat alias
+
+
 def write_mjpeg(path_or_file, frames, fps=30, quality=85):
     """Write frames (uint8 [H, W] / [H, W, 3] arrays, or pre-encoded JPEG
     bytes) as an MJPEG AVI. Returns the number of frames written."""
@@ -42,7 +45,7 @@ def write_mjpeg(path_or_file, frames, fps=30, quality=85):
 
                 size = Image.open(io.BytesIO(data)).size
         else:
-            data, size = _jpeg_encode(f, quality)
+            data, size = jpeg_encode(f, quality)
         if len(data) % 2:
             data += b"\x00"
         encoded.append(data)

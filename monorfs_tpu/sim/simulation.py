@@ -257,7 +257,9 @@ class Simulation:
                 rgb[y - 1:y + 2, x - 1:x + 2] = (255, 64, 64)
         from ..io import avi
 
-        self.sidebar_frames.append(avi._jpeg_encode(rgb)[0])
+        self.sidebar_frames.append(
+            avi.jpeg_encode(rgb, quality=self.cfg.sidebar_jpeg_quality)[0]
+        )
 
     def _replay_frame(self):
         """RecordVehicle playback (RecordVehicle.cs:150-240): pose from the

@@ -49,6 +49,13 @@ from ..gm.mixture import ALIVE_THRESHOLD, DEAD, GM, SGM
 from . import association, beam_pallas
 
 
+# log(1e-300): the reference evaluates map densities in C# doubles and its
+# smallest representable floor is ~1e-300 (PHDNavigator.cs:373-393 operates
+# on Map.Evaluate values); pinning the same *log-space* floor keeps float32
+# runs on the float64 semantics instead of saturating at log(float32 tiny).
+LOG_EVAL_FLOOR = -690.77552789821368
+
+
 def _exact_dot(a, b):
     """One-hot gathers as matmuls must run at full f32 precision: the TPU
     default may execute f32 dots as bf16 MXU passes, truncating the gathered
@@ -135,7 +142,8 @@ def _sample_mvn(key, cov, shape, dtype):
     lam, vec = jnp.linalg.eigh(cov.astype(dtype))
     sqrt = vec * jnp.sqrt(jnp.maximum(lam, 0.0))[None, :]
     normals = jax.random.normal(key, shape + (cov.shape[-1],), dtype)
-    return jnp.einsum("ij,...j->...i", sqrt, normals)
+    return jnp.einsum("ij,...j->...i", sqrt, normals,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def predict_poses(model, params: PHDParams, state: PHDState, odometry, key,
@@ -333,24 +341,28 @@ def _correct_prune_soa(model, cfg, params, fns, pose, pred: SGM, zl, z_mask):
     wsum_l = jnp.sum(cw, axis=1)
     safe = jnp.maximum(wsum_l, 1e-30)
 
-    sec = (
-        cov_s[0] + mean_s[0] * mean_s[0],
-        cov_s[1] + mean_s[0] * mean_s[1],
-        cov_s[2] + mean_s[0] * mean_s[2],
-        cov_s[3] + mean_s[1] * mean_s[1],
-        cov_s[4] + mean_s[1] * mean_s[2],
-        cov_s[5] + mean_s[2] * mean_s[2],
+    # Moment-matching merge (Gaussian.Merge, Gaussian.cs:297-347) centered
+    # at each LEADER's mean. The naive raw-second-moment form
+    # (cov = E[x x^T] - mean mean^T) cancels O(|mean|^2) terms to recover
+    # O(sigma^2) covariances -- in float32 that injects |mean|^2 * eps
+    # absolute noise into EVERY live covariance EVERY frame (each leader
+    # pools itself through its second moment even when nothing merges).
+    # Centered at the leader, all pooled quantities are O(merge_threshold
+    # * sigma): no cancellation at any dtype. `diff` ([leader, member]
+    # member-minus-leader mean deltas) already exists from the gate above.
+    dsum = [jnp.sum(cw * di, axis=1) for di in diff]  # [K_out] per coord
+    delta_m = [ds / safe for ds in dsum]  # pooled mean offset from leader
+    mean_m = [mi + dm for mi, dm in zip(mean_s, delta_m)]
+    # pooled member covariances (pure convex combination; one matmul)
+    covfeat = jnp.stack(list(cov_s), axis=-1)  # [K_out member, 6]
+    covpool = _exact_dot(cw, covfeat) / safe[:, None]  # [K_out leader, 6]
+    pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    spread = tuple(
+        jnp.sum(cw * diff[a] * diff[b], axis=1) / safe
+        - delta_m[a] * delta_m[b]
+        for a, b in pairs
     )
-    # one matmul pools all 9 moment channels (means + second moments)
-    moments = jnp.stack(list(mean_s) + list(sec), axis=-1)  # [K_out, 9]
-    pooled = _exact_dot(cw, moments) / safe[:, None]
-    mean_m = [pooled[..., i] for i in range(3)]
-    sec_m = [pooled[..., 3 + i] for i in range(6)]
-    mm = (
-        mean_m[0] * mean_m[0], mean_m[0] * mean_m[1], mean_m[0] * mean_m[2],
-        mean_m[1] * mean_m[1], mean_m[1] * mean_m[2], mean_m[2] * mean_m[2],
-    )
-    cov_m = tuple(s - p for s, p in zip(sec_m, mm))
+    cov_m = tuple(covpool[..., i] + spread[i] for i in range(6))
 
     out_alive = is_leader & (wsum_l > 0)
     out_logw = jnp.where(out_alive, jnp.log(safe), DEAD)
@@ -390,9 +402,16 @@ def _weight_alpha_soa(model, cfg, params, fns, pose, predicted: SGM,
     jmeans = [jm[:, i] for i in range(3)]  # 3-list [E]
 
     def mixture_loglike(gm):
-        vals = mixture.evaluate_many_soa(gm, jmeans)
+        # Fully log-space evaluation: the linear-space density underflows
+        # to 0 in float32 for any point ~>13 sigma from every component,
+        # and the 1e-300 floor is itself 0 in float32 -> log(0) = -inf ->
+        # `rest` = inf - inf = NaN -> the NaN guard in make_slam_step
+        # dropped the WHOLE frame's weight update (root cause of the
+        # round-3 TPU-f32 accuracy gap). LOG_EVAL_FLOOR = log(1e-300)
+        # keeps float32 and float64 runs on identical semantics.
+        lv = mixture.log_evaluate_many_soa(gm, jmeans)
         return jnp.sum(
-            jnp.where(jvalid, jnp.log(jnp.maximum(vals, 1e-300)), 0.0)
+            jnp.where(jvalid, jnp.maximum(lv, LOG_EVAL_FLOOR), 0.0)
         )
 
     plog = mixture_loglike(predicted)
