@@ -31,9 +31,14 @@ def _setup():
     jax.config.update("jax_enable_x64", True)
 
 
+SEED = 0  # set by the --seeds loop; run_cli forwards it to every solve
+
+
 def run_cli(args):
     from monorfs_tpu.cli import main
 
+    if SEED and "--seed" not in args:
+        args = list(args) + ["--seed", str(SEED)]
     t0 = time.time()
     main(args)
     return time.time() - t0
@@ -359,24 +364,54 @@ def main():
     ap.add_argument("experiment", choices=list(EXPERIMENTS) + ["all"])
     ap.add_argument("--outdir", default=str(HERE / "out"))
     ap.add_argument("--variant", default="default")
+    ap.add_argument("--seeds", default="0",
+                    help="comma list of RNG seeds; seed 0 writes the "
+                         "canonical outputs, others land in seed<N>/ "
+                         "subdirs and aggregate into <tag>.seeds.json "
+                         "(the reference drives repeated runs with "
+                         "runmultiple.sh)")
     args = ap.parse_args()
     _setup()
+    run_grid(args, EXPERIMENTS)
 
+
+def run_grid(args, experiments, post=None):
+    import json
+
+    global SEED
     outdir = pathlib.Path(args.outdir)
-    todo = list(EXPERIMENTS) if args.experiment == "all" else [args.experiment]
+    seeds = [int(x) for x in str(args.seeds).split(",") if x != ""]
+    todo = list(experiments) if args.experiment == "all" else [args.experiment]
     for name in todo:
-        fn = EXPERIMENTS[name]
-        kwargs = {"variant": args.variant} if name == "chap4-s1" else {}
-        print(f"=== {name} ===", flush=True)
-        stats = fn(outdir, **kwargs)
-        for k, v in stats.items():
-            print(f"  {k}: {v}", flush=True)
-        import json
-
+        fn = experiments[name]
+        kwargs = (
+            {"variant": args.variant}
+            if name == "chap4-s1" and "variant" in fn.__code__.co_varnames
+            else {}
+        )
         tag = name if name != "chap4-s1" else f"chap4-{args.variant}"
-        outdir.mkdir(parents=True, exist_ok=True)
-        with open(outdir / f"{tag}.stats.json", "w") as f:
-            json.dump(stats, f, indent=1, default=str)
+        per_seed = {}
+        for seed in seeds:
+            SEED = seed
+            sdir = outdir if seed == 0 else outdir / f"seed{seed}"
+            sdir.mkdir(parents=True, exist_ok=True)
+            print(f"=== {name} (seed {seed}) ===", flush=True)
+            t0 = time.time()
+            stats = fn(sdir, **kwargs)
+            if post:
+                post(stats)
+            stats["_wall_s"] = round(time.time() - t0, 1)
+            per_seed[seed] = stats
+            for k, v in stats.items():
+                print(f"  {k}: {v}", flush=True)
+            if seed == 0:
+                with open(outdir / f"{tag}.stats.json", "w") as f:
+                    json.dump(stats, f, indent=1, default=str)
+        SEED = 0
+        if len(seeds) > 1:
+            with open(outdir / f"{tag}.seeds.json", "w") as f:
+                json.dump({str(k): v for k, v in per_seed.items()}, f,
+                          indent=1, default=str)
 
 
 if __name__ == "__main__":

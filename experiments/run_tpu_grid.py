@@ -57,8 +57,32 @@ def chap3_s4_tpu(outdir):
     return G.chap3_s4(outdir, sweep=(20, 100, 800, 2000))
 
 
-def chap4_default_tpu(outdir):
-    return G.chap4_s1(outdir, variant="default", particles=800)
+def chap4_default_tpu(outdir, variant="default"):
+    return G.chap4_s1(outdir, variant=variant, particles=800)
+
+
+def chap4_noisy_tpu(outdir):
+    return G.chap4_s1(outdir, variant="noisy", particles=800)
+
+
+def chap4_cluttery_tpu(outdir):
+    return G.chap4_s1(outdir, variant="cluttery", particles=800)
+
+
+def chap5_s1_tpu(outdir):
+    return G.chap5_s1(outdir)
+
+
+def chap5_s2_tpu(outdir):
+    return G.chap5_s2(outdir)
+
+
+def chap5_k3_tpu(outdir):
+    return G.chap5_k3(outdir)
+
+
+def chap5_k4_tpu(outdir):
+    return G.chap5_k4(outdir)
 
 
 def throughput(outdir):
@@ -109,6 +133,12 @@ EXPERIMENTS = {
     "chap3-s1": chap3_s1_tpu,
     "chap3-s4": chap3_s4_tpu,
     "chap4-default": chap4_default_tpu,
+    "chap4-noisy": chap4_noisy_tpu,
+    "chap4-cluttery": chap4_cluttery_tpu,
+    "chap5-s1": chap5_s1_tpu,
+    "chap5-s2": chap5_s2_tpu,
+    "chap5-k3": chap5_k3_tpu,
+    "chap5-k4": chap5_k4_tpu,
     "throughput": throughput,
 }
 
@@ -117,6 +147,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("experiment", choices=list(EXPERIMENTS) + ["all"])
     ap.add_argument("--outdir", default=str(HERE / "out-tpu"))
+    ap.add_argument("--seeds", default="0")
+    ap.add_argument("--variant", default="default")
     args = ap.parse_args()
 
     import jax
@@ -125,19 +157,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     backend = check_backend()
 
-    outdir = pathlib.Path(args.outdir)
-    outdir.mkdir(parents=True, exist_ok=True)
-    todo = list(EXPERIMENTS) if args.experiment == "all" else [args.experiment]
-    for name in todo:
-        print(f"=== {name} (backend={backend}, float32) ===", flush=True)
-        t0 = time.time()
-        stats = EXPERIMENTS[name](outdir)
-        stats["_grid_wall_s"] = round(time.time() - t0, 1)
-        stats["_backend"] = backend
-        for k, v in stats.items():
-            print(f"  {k}: {v}", flush=True)
-        with open(outdir / f"{name}.stats.json", "w") as f:
-            json.dump(stats, f, indent=1, default=str)
+    pathlib.Path(args.outdir).mkdir(parents=True, exist_ok=True)
+    G.run_grid(args, EXPERIMENTS,
+               post=lambda stats: stats.update(_backend=backend))
 
 
 if __name__ == "__main__":
