@@ -68,6 +68,72 @@ def main_scan():
     }}), file=sys.stderr)
 
 
+def main_scan_da():
+    """--scan-da: the fully-jitted MAHALANOBIS-DA graph backend — gated
+    J Sigma J^T + R log-profit matrix, epsilon-scaled auction assignment,
+    candidate lifecycle, warm-started GN, amortized marginals — compiled
+    into one lax.scan (slam/isam2_scan_da.py; the reference's DEFAULT
+    chap4 configuration, ISAM2Navigator.cs:256-441 + isam2.cpp:199-312,
+    which the host-interactive path below runs at ~2 fps)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(HERE / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monorfs_tpu.config import Config
+    from monorfs_tpu.io import World, parse_commands
+    from monorfs_tpu.metrics.errors import ospa
+    from monorfs_tpu.slam.isam2_scan_da import build_mahalanobis_scan
+
+    frames = int(sys.argv[sys.argv.index("--frames") + 1]) \
+        if "--frames" in sys.argv else 300
+    cfg = Config.from_file(
+        HERE / "experiments" / "configs" / "chap4-default.cfg"
+    )
+    world = World.from_file(HERE / "assets" / "sim3d.world")
+    cmds = np.stack([
+        c[:6] for c in parse_commands((HERE / "assets" / "mov3d.in").read_text())
+    ])
+    reps = int(np.ceil(frames / len(cmds)))
+    cmds = jnp.asarray(np.tile(cmds, (reps, 1))[:frames], jnp.float32)
+
+    runner, carry, model = build_mahalanobis_scan(
+        cfg, world, frames=frames, dtype=jnp.float32
+    )
+    t0 = time.perf_counter()
+    _, (tp, ep, nlm) = runner(carry, cmds)
+    np.asarray(ep)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out_carry, (tp, ep, nlm) = runner(carry, cmds)
+    tp, ep = np.asarray(tp), np.asarray(ep)
+    elapsed = time.perf_counter() - t0
+    fps = frames / elapsed
+    ate = float(np.sqrt(np.mean(np.sum((tp[:, :3] - ep[:, :3]) ** 2, -1))))
+    lm_mask = np.asarray(out_carry.gstate.lm_mask)
+    lms = np.asarray(out_carry.gstate.landmarks)[lm_mask]
+    o = float(ospa(lms, np.asarray(world.landmarks), c=1.0)[0])
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": "frames/sec isam2-equivalent 3D sim "
+                  "(jitted scan, Mahalanobis DA)",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+    print(json.dumps({"detail": {
+        "frames": frames, "elapsed_s": round(elapsed, 4),
+        "compile_s": round(compile_s, 2), "ate_rmse_loc": round(ate, 4),
+        "final_landmarks": int(lm_mask.sum()),
+        "true_landmarks": len(world.landmarks),
+        "final_ospa": round(o, 4),
+        "backend": dev.platform, "device": str(dev.device_kind),
+        "dtype": "float32", "gn_iters_per_frame": 1,
+    }}), file=sys.stderr)
+
+
 def main():
     import jax
 
@@ -123,7 +189,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--scan" in sys.argv:
+    if "--scan-da" in sys.argv:
+        main_scan_da()
+    elif "--scan" in sys.argv:
         main_scan()
     else:
         main()

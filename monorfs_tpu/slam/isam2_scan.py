@@ -48,6 +48,9 @@ def build_isam2_scan_runner(cfg, world, frames, gn_iters=1, dtype=jnp.float32,
     (true_pose, estimated_pose)."""
     model = model_for_config(cfg, world)
     lmax = max(len(world.landmarks), 1)
+    from .isam2_scan_da import _check_clutter_capacity
+
+    _check_clutter_capacity(cfg, model, max_clutter)
     m = lmax + max_clutter
     t_cap = frames + 1
     gcfg = graph.GraphConfig(

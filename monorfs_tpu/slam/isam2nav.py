@@ -58,10 +58,26 @@ class ISAM2Navigator:
                  max_landmarks=256, meas_per_frame=24, onlymapping=False,
                  dtype=np.float64, da_algorithm=None, full_solve_every=8,
                  cand_cap=128, marginals_every=4, merge_threshold=0.0,
-                 cover_threshold=None):
+                 cover_threshold=None, solve_dtype=np.float64,
+                 dup_merge_radius=0.5, dup_min_obs=6, dup_coobs_frac=0.15):
         self.model = model
         self.cfg = cfg
         self.dtype = dtype
+        # The graph solve + marginals always run in float64 on the host CPU
+        # backend by default, regardless of the simulation dtype: the
+        # reference's gtsam solves in C++ doubles too (isam2.cpp:245), and
+        # a float32 batch solve of the ~1800-dim reduced pose system was
+        # measured to corrupt landmark estimates enough to re-trigger the
+        # duplicate-promotion cascade (chap4-cluttery grid row: 150
+        # landmarks in the f32 replay vs 43 in f64, round 4). The
+        # TPU-native float32 path is the jitted scan (isam2_scan*.py),
+        # which pins matmul precision instead. Association stays in
+        # simulation dtype on the default device.
+        self.solve_dtype = solve_dtype
+        try:
+            self._solve_device = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            self._solve_device = None
         self.onlymapping = onlymapping
         self.da_algorithm = da_algorithm or cfg.da_algorithm
         self.match_threshold = cfg.match_threshold
@@ -103,9 +119,23 @@ class ISAM2Navigator:
         dt = cfg.measure_elapsed
         motion_sigma = dt * np.sqrt(np.diag(cfg.motion_covariance))
         meas_sigma = np.sqrt(np.diag(cfg.measurement_covariance))
-        self.motion_info = jnp.asarray(np.diag(1.0 / motion_sigma**2), dtype)
-        self.meas_info = jnp.asarray(np.diag(1.0 / meas_sigma**2), dtype)
-        self.meas_cov = jnp.asarray(np.diag(meas_sigma**2), dtype)
+        sd = self.solve_dtype
+        self.motion_info = jnp.asarray(np.diag(1.0 / motion_sigma**2), sd)
+        self.meas_info = jnp.asarray(np.diag(1.0 / meas_sigma**2), sd)
+        self.meas_cov = jnp.asarray(np.diag(meas_sigma**2), sd)
+
+        # co-observation duplicate discipline (round 4): duplicate labels of
+        # one physical landmark are almost never matched in the SAME frame
+        # (one detection per point per frame), while genuinely close
+        # landmark pairs are co-detected in most co-visible frames
+        # (PD^2 = 0.81 at the default configs). Track per-label observation
+        # counts and pairwise same-frame co-observation counts; merge
+        # close, never-co-observed pairs (see _merge_duplicates).
+        self.dup_merge_radius = dup_merge_radius
+        self.dup_min_obs = dup_min_obs
+        self.dup_coobs_frac = dup_coobs_frac
+        self.obs_count = np.zeros(max_landmarks, np.int64)
+        self.coobs = np.zeros((max_landmarks, max_landmarks), np.int32)
 
         self._solvers = {}
         self._marginal_fns = {}
@@ -376,27 +406,37 @@ class ISAM2Navigator:
 
     def _bucket_state(self):
         """Slice the host mirrors to power-of-two active capacities and
-        build the device GraphState + its bucket GraphConfig."""
+        build the solve-device GraphState (solve_dtype, CPU backend by
+        default -- see __init__) + its bucket GraphConfig."""
         t_cap = _pow2_at_least(self.n_poses + 1, 8, self.max_poses)
         f_cap = _pow2_at_least(self.n_factors + 1, 32, self.max_factors)
         l_cap = _pow2_at_least(max(self.next_label, 1), 8, self.max_landmarks)
         cfg = graph.GraphConfig(
             max_poses=t_cap, max_landmarks=l_cap, max_factors=f_cap,
         )
-        st = graph.GraphState(
-            poses=jnp.asarray(self.poses_np[:t_cap]),
-            n_poses=jnp.int32(self.n_poses),
-            landmarks=jnp.asarray(self.landmarks_np[:l_cap]),
-            lm_mask=jnp.asarray(self.lm_mask_np[:l_cap]),
-            between=jnp.asarray(self.between_np[:t_cap]),
-            between_mask=jnp.asarray(self.between_mask_np[:t_cap]),
-            pose_fixed=jnp.asarray(self.pose_fixed_np[:t_cap]),
-            f_pose=jnp.asarray(self.f_pose_np[:f_cap]),
-            f_lm=jnp.asarray(self.f_lm_np[:f_cap]),
-            f_z=jnp.asarray(self.f_z_np[:f_cap]),
-            f_mask=jnp.asarray(self.f_mask_np[:f_cap]),
-        )
+        sd = self.solve_dtype
+        with self._on_solve_device():
+            st = graph.GraphState(
+                poses=jnp.asarray(self.poses_np[:t_cap], sd),
+                n_poses=jnp.int32(self.n_poses),
+                landmarks=jnp.asarray(self.landmarks_np[:l_cap], sd),
+                lm_mask=jnp.asarray(self.lm_mask_np[:l_cap]),
+                between=jnp.asarray(self.between_np[:t_cap], sd),
+                between_mask=jnp.asarray(self.between_mask_np[:t_cap]),
+                pose_fixed=jnp.asarray(self.pose_fixed_np[:t_cap]),
+                f_pose=jnp.asarray(self.f_pose_np[:f_cap]),
+                f_lm=jnp.asarray(self.f_lm_np[:f_cap]),
+                f_z=jnp.asarray(self.f_z_np[:f_cap], sd),
+                f_mask=jnp.asarray(self.f_mask_np[:f_cap]),
+            )
         return cfg, st, (t_cap, f_cap, l_cap)
+
+    def _on_solve_device(self):
+        import contextlib
+
+        if self._solve_device is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self._solve_device)
 
     def _solver_for(self, cfg, key, iters):
         k = key + (iters,)
@@ -496,7 +536,8 @@ class ISAM2Navigator:
         iters = cfg.gn_iters if full else 1
         if full:
             self._last_full_solve = t
-        st = self._solver_for(cfg, key, iters)(st)
+        with self._on_solve_device():
+            st = self._solver_for(cfg, key, iters)(st)
 
         t_cap, f_cap, l_cap = key
         self.poses_np[:t_cap] = np.asarray(st.poses)
@@ -511,76 +552,132 @@ class ISAM2Navigator:
         # marginals pass is the steady-state cost driver (a [T*O, L*3]
         # multi-RHS solve per call, graph.py:289-341); amortizing it is the
         # batch-GN stand-in for gtsam's incremental Bayes-tree marginals.
+        # observation statistics for the co-observation duplicate merge
+        seen = sorted({
+            lab for lab in labels
+            if 0 <= lab < self.max_landmarks
+        })
+        if seen:
+            self.obs_count[seen] += 1
+            ix = np.asarray(seen)
+            self.coobs[np.ix_(ix, ix)] += 1
+
         if full or (
             self.da_algorithm == "Mahalanobis"
             and t - self._last_marginals >= self.marginals_every
         ):
-            lm_cov, pl_cov = self._marginals_for(cfg, key)(st)
+            with self._on_solve_device():
+                lm_cov, pl_cov = self._marginals_for(cfg, key)(st)
             self.lm_cov[:l_cap] = np.asarray(lm_cov)
             self.pl_cov[:l_cap] = np.asarray(pl_cov)
             self._last_marginals = t
             if self._merge_duplicates():
                 # relabeled factors: re-solve and refresh the gate state
                 cfg, st, key = self._bucket_state()
-                st = self._solver_for(cfg, key, cfg.gn_iters)(st)
+                with self._on_solve_device():
+                    st = self._solver_for(cfg, key, cfg.gn_iters)(st)
                 t_cap, f_cap, l_cap = key
                 self.poses_np[:t_cap] = np.asarray(st.poses)
                 self.landmarks_np[:l_cap] = np.asarray(st.landmarks)
                 self.pose = self.poses_np[t].copy()
-                lm_cov, pl_cov = self._marginals_for(cfg, key)(st)
+                with self._on_solve_device():
+                    lm_cov, pl_cov = self._marginals_for(cfg, key)(st)
                 self.lm_cov[:l_cap] = np.asarray(lm_cov)
                 self.pl_cov[:l_cap] = np.asarray(pl_cov)
         return labels
 
     def _merge_duplicates(self):
-        """Merge proven landmarks that have collapsed onto each other:
-        pairs whose separation is within `merge_threshold` Mahalanobis
-        (in the summed marginal covariances) become one landmark -- the
-        later label's factors are relabeled to the earlier one.
+        """Merge duplicate proven landmarks (two labels, one physical
+        point): the later label's factors are relabeled to the earlier one
+        and its observation statistics are folded in.
 
-        OFF by default (merge_threshold=0): the marginal covariances are
-        GLOBAL-frame, so under a weak motion prior the accumulated pose
-        uncertainty dominates them and physically distinct landmarks merge
-        catastrophically (measured: the kinect flat-wall map collapsed from
-        140 labels to 1). A correct criterion needs the relative
-        (cross-covariance) marginal of lm_i - lm_j; with the find_labels
-        cover discipline suppressing duplication at the source, the cleanup
-        pass is not needed for the chap4 grids.
-
-        Duplicates mostly cannot form anymore (see find_labels), but a pair
-        promoted in the same frame from two nearby measurements, or a
-        re-observed landmark whose gate was briefly stale, can still
-        collapse later; without a merge the map keeps both forever (the
-        reference has no equivalent cleanup -- its candidate culling,
-        ISAM2Navigator.cs:425-436, is the only discipline, and its maps
-        duplicate in exactly this way)."""
-        if self.merge_threshold <= 0:
-            return False
+        The find_labels cover discipline suppresses duplication at the
+        source under the clean configs, but the degraded chap4 configs
+        (noise x4, clutter x10) still mint duplicates: a mis-estimated
+        landmark misses its own detection at d2 far beyond any usable
+        cover radius (measured 130-2400 in the J Sigma J^T + R metric)
+        while the detection feeds a candidate 0.05-0.37 m away. The
+        co-observation criterion below catches exactly these without
+        touching genuinely close pairs (sim3d's median nearest-neighbor
+        spacing is 0.17 m, so distance alone cannot discriminate). The
+        reference has no equivalent cleanup -- its candidate culling
+        (ISAM2Navigator.cs:425-436) is the only discipline, and its maps
+        duplicate in exactly this way."""
+        merged = False
         idx = np.flatnonzero(self.lm_mask_np)
         if len(idx) < 2:
             return False
-        merged = False
-        thr2 = float(self.merge_threshold) ** 2
-        for a in range(len(idx)):
-            ia = idx[a]
-            if not self.lm_mask_np[ia]:
-                continue
-            for b in range(a + 1, len(idx)):
-                ib = idx[b]
-                if not self.lm_mask_np[ib]:
+
+        # (1) co-observation criterion (round 4, ON by default): two labels
+        # of the SAME physical landmark split its one detection per frame
+        # between them, so they are (almost) never matched in the same
+        # frame; two genuinely close landmarks are co-detected in most
+        # co-visible frames (PD^2). A close pair that has been seen often
+        # but (almost) never together is a duplicate -- merge the later
+        # label into the earlier. Robust where covariance-based criteria
+        # fail: under degraded configs (chap4 noisy/cluttery) the
+        # mis-association bias exceeds what the marginals model, but the
+        # co-observation signature is unaffected.
+        if self.dup_merge_radius > 0:
+            for a in range(len(idx)):
+                ia = idx[a]
+                if not self.lm_mask_np[ia]:
                     continue
-                diff = self.landmarks_np[ia] - self.landmarks_np[ib]
-                c = self.lm_cov[ia] + self.lm_cov[ib]
-                try:
-                    m2 = float(diff @ np.linalg.solve(c, diff))
-                except np.linalg.LinAlgError:
-                    continue
-                if 0 <= m2 < thr2:
-                    sel = self.f_mask_np & (self.f_lm_np == ib)
-                    self.f_lm_np[sel] = ia
-                    self.lm_mask_np[ib] = False
+                for b in range(a + 1, len(idx)):
+                    ib = idx[b]
+                    if not self.lm_mask_np[ib]:
+                        continue
+                    dist = float(np.linalg.norm(
+                        self.landmarks_np[ia] - self.landmarks_np[ib]
+                    ))
+                    if dist >= self.dup_merge_radius:
+                        continue
+                    o = min(self.obs_count[ia], self.obs_count[ib])
+                    if o < self.dup_min_obs:
+                        continue
+                    if self.coobs[ia, ib] > self.dup_coobs_frac * o:
+                        continue
+                    self._merge_pair(ia, ib)
                     merged = True
+
+        # (2) legacy Mahalanobis criterion in the summed GLOBAL-frame
+        # marginals (OFF by default, merge_threshold=0): under a weak
+        # motion prior the accumulated pose uncertainty dominates these
+        # covariances and physically distinct landmarks merge
+        # catastrophically (measured: the kinect flat-wall map collapsed
+        # from 140 labels to 1); kept for explicitly-configured use.
+        if self.merge_threshold > 0:
+            thr2 = float(self.merge_threshold) ** 2
+            for a in range(len(idx)):
+                ia = idx[a]
+                if not self.lm_mask_np[ia]:
+                    continue
+                for b in range(a + 1, len(idx)):
+                    ib = idx[b]
+                    if not self.lm_mask_np[ib]:
+                        continue
+                    diff = self.landmarks_np[ia] - self.landmarks_np[ib]
+                    c = self.lm_cov[ia] + self.lm_cov[ib]
+                    try:
+                        m2 = float(diff @ np.linalg.solve(c, diff))
+                    except np.linalg.LinAlgError:
+                        continue
+                    if 0 <= m2 < thr2:
+                        self._merge_pair(ia, ib)
+                        merged = True
         return merged
+
+    def _merge_pair(self, ia, ib):
+        """Relabel ib's factors to ia and fold its observation statistics."""
+        sel = self.f_mask_np & (self.f_lm_np == ib)
+        self.f_lm_np[sel] = ia
+        self.lm_mask_np[ib] = False
+        self.obs_count[ia] += self.obs_count[ib]
+        self.obs_count[ib] = 0
+        self.coobs[ia, :] += self.coobs[ib, :]
+        self.coobs[:, ia] += self.coobs[:, ib]
+        self.coobs[ib, :] = 0
+        self.coobs[:, ib] = 0
 
     # ------------------------------------------------------------------
 

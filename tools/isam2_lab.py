@@ -25,6 +25,7 @@ def main():
     ap.add_argument("-g", "--config", required=True)
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--da", default=None)
+    ap.add_argument("--dtype", default="float64", choices=["float32", "float64"])
     args = ap.parse_args()
 
     import jax
@@ -32,6 +33,8 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import numpy as np
+
+    dtype = np.float64 if args.dtype == "float64" else np.float32
 
     from monorfs_tpu.config import Config
     from monorfs_tpu.io.recording import Recording
@@ -50,18 +53,18 @@ def main():
     n = args.frames or len(odometry)
 
     nav = ISAM2Navigator(
-        model, cfg, np.asarray(rec.world.pose, np.float64),
+        model, cfg, np.asarray(rec.world.pose, dtype),
         max_poses=n + 2,
         max_landmarks=max(4 * len(rec.world.landmarks), 64),
         meas_per_frame=max(max((len(z) for z in meas), default=1), 1),
-        dtype=np.float64, da_algorithm=args.da,
+        dtype=dtype, da_algorithm=args.da,
     )
 
     promos = []
     nav.debug_promotions = []
     t0 = time.time()
     for i in range(n):
-        nav.predict(np.asarray(odometry[i], np.float64))
+        nav.predict(np.asarray(odometry[i], dtype))
         before = nav.next_label
         n_dbg = len(nav.debug_promotions)
         nav.slam_update(list(meas[i]))
