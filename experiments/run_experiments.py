@@ -314,6 +314,79 @@ def chap3_k6(outdir, frames=60):
     return stats
 
 
+def chap3_k6real(outdir, frames=24):
+    """Real-pixel TUM-format sequence through the full frontend
+    (chap3/K6-realsensor.sh equivalent at the closest honest fidelity this
+    zero-egress environment allows): REAL photographs on an analytic
+    two-plane scene (assets/tum_real, see make_real_fixture.py) ->
+    convert_tum -> FAST/LATCH/RANSAC -> isam2 and phd-mapping, with ATE
+    against the analytic camera trajectory."""
+    out = outdir / "chap3-k6real"
+    out.mkdir(parents=True, exist_ok=True)
+    import numpy as np
+
+    from monorfs_tpu.config import Config
+    from monorfs_tpu.frontend.dataset import RGBDDataset, convert_tum
+    from monorfs_tpu.frontend.kinect import KinectSource
+    from monorfs_tpu.io import World
+    from monorfs_tpu.models.kinect_model import Params as KinectParams
+    from monorfs_tpu.sim import Simulation
+
+    fixture = ROOT / "assets" / "tum_real"
+    if not fixture.exists():
+        import make_real_fixture
+
+        make_real_fixture.render_sequence(fixture, frames=frames)
+    npz = str(out / "tum_real.npz")
+    convert_tum(str(fixture), npz, max_frames=frames)
+    true_x = np.load(fixture / "true_x.npy")[:frames]
+
+    h, w, focal = 120, 160, 200.0
+    cam = KinectParams(
+        focal=focal, film_left=-w / 2, film_top=-h / 2, film_width=w,
+        film_height=h, range_min=0.1, range_max=5.0, res_x=w, res_y=h,
+        border=1,
+    )
+    world = World(
+        pose=np.array([0, 0, 0, 1, 0, 0, 0.0]),
+        landmarks=np.zeros((0, 3)),
+        measurer_params=np.asarray(cam.to_linear()),
+    )
+    stats = {}
+    for alg in ("isam2", "phd"):
+        src = KinectSource(RGBDDataset(npz), camera=cam, delta=1,
+                           max_keypoints=128, threshold=40.0)
+        cfg = Config()
+        cfg.motion_covariance = np.diag([10.0, 10, 10, 0.1, 0.1, 0.1])
+        sim = Simulation(cfg, world, [], algorithm=alg,
+                         particles=1, onlymapping=(alg == "phd"),
+                         kinect_source=src, dtype=np.float64)
+        sim.run()
+        sim.save(str(out / f"{alg}.zip"))
+        if alg == "isam2":
+            traj = sim.isam2.trajectory
+            est_x = traj[1:, 0] - traj[1, 0]
+            want = true_x - true_x[0]
+            n = min(len(est_x), len(want))
+            err = np.abs(est_x[:n] - want[:n])
+            stats[alg] = {
+                "frames": int(n),
+                "travel_m": float(want[n - 1]),
+                "ate_loc_rmse": float(np.sqrt(np.mean(err ** 2))),
+                "final_err_m": float(err[n - 1]),
+                "landmarks": int(sim.isam2.lm_mask_np.sum()),
+            }
+        else:
+            counts = [len(m) for _, m in sim.way_measurements]
+            stats[alg] = {
+                "frames": len(counts),
+                "mean_measurements": sum(counts) / max(len(counts), 1),
+                "frames_with_measurements": sum(1 for c in counts if c > 0),
+                "map_components": len(sim.way_maps[-1][1]),
+            }
+    return stats
+
+
 def chap4_s8(outdir, particles=100):
     """'Sandwich': solve the same recorded data with a chain of algorithms
     (chap4/S8-sandwich.sh:10-48: known-DA iSAM2 -> odometry -> PHD ->
@@ -350,6 +423,7 @@ EXPERIMENTS = {
     "chap3-s1": chap3_s1,
     "chap3-s4": chap3_s4,
     "chap3-k6": chap3_k6,
+    "chap3-k6real": chap3_k6real,
     "chap4-s1": chap4_s1,
     "chap4-s8": chap4_s8,
     "chap5-s1": chap5_s1,

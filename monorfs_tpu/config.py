@@ -92,6 +92,11 @@ class Config:
     # LoopyPHDNavigator
     gradient_ascent_rate: float = 1e-2
     gradient_clip: float = 10.0
+    # offline smoother schedule: 1 sequential-refit pass + (loopy_sweeps-1)
+    # Jacobi BP sweeps (the reference drives sweeps off its command-file
+    # tick budget, LoopyPHDNavigator.cs:367-377; a fixed count with
+    # best-objective selection reaches the same plateau)
+    loopy_sweeps: int = 6
 
     # ISAM2Navigator
     match_threshold: float = 3.0
@@ -187,6 +192,7 @@ class Config:
         "NavigatorClutterDensity": ("navigator_clutter_density", float),
         "GradientAscentRate": ("gradient_ascent_rate", float),
         "GradientClip": ("gradient_clip", float),
+        "LoopySweeps": ("loopy_sweeps", int),
         "MatchThreshold": ("match_threshold", float),
         "NewLandmarkThreshold": ("new_landmark_threshold", int),
         "DAAlgorithm": ("da_algorithm", str),

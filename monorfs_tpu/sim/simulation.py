@@ -182,11 +182,11 @@ class Simulation:
             # offline smoother: an inner online pass provides the initial
             # estimate (LoopyPHDNavigator ctor semantics,
             # LoopyPHDNavigator.cs:223-246); sweeps run in run().
-            # 6 = the sequential-refit pass + 5 Jacobi smoothing sweeps:
-            # on every chap5 record the refit dominates and later sweeps
-            # only fine-tune (best-objective selection keeps the winner),
-            # so the reference's larger tick budget buys nothing here
-            self.loopy_sweeps = 6
+            # default 6 = the sequential-refit pass + 5 Jacobi smoothing
+            # sweeps: on every chap5 record the refit dominates and later
+            # sweeps only fine-tune (best-objective selection keeps the
+            # winner). Overridable via the LoopySweeps config key.
+            self.loopy_sweeps = cfg.loopy_sweeps
             self.mode_mapping = False
         else:
             raise ValueError(f"unknown algorithm {self.algorithm}")

@@ -57,7 +57,8 @@ class ScanDACarry(NamedTuple):
 
 def build_mahalanobis_scan(cfg, world, frames, dtype=jnp.float32,
                            max_clutter=8, max_landmarks=None, cand_cap=16,
-                           marginals_every=4, eps=0.01, seed=0):
+                           marginals_every=4, eps=0.01, seed=0,
+                           map_cover_radius=0.3):
     """Return (runner, init_carry, model). runner(carry, commands) scans the
     vehicle + Mahalanobis-DA graph-SLAM pipeline; per-frame outputs
     (true_pose, estimated_pose, n_landmarks)."""
@@ -187,9 +188,18 @@ def build_mahalanobis_scan(cfg, world, frames, dtype=jnp.float32,
 
         # penumbra cover (see slam/isam2nav.py find_labels): a measurement
         # gated (cover radius) by a proven landmark that went UNMATCHED this
-        # frame is a shadow of that landmark, not a birth
+        # frame is a shadow of that landmark, not a birth. The map-space
+        # radius complements the projected metric (isam2nav
+        # map_cover_radius note): a mis-estimated landmark misses its own
+        # detection far beyond any usable d2 gate while the detection
+        # back-projects within ~0.3 m of it.
         cover_rows = lm_mask & ~matched_lm  # [L]
-        gate = (d2_l < cover_thr2) & cover_rows[:, None]  # [L, M]
+        dmap2 = sum(
+            (backproj[None, :, i] - lms[:, None, i]) ** 2 for i in range(3)
+        )  # [L, M]
+        gate = (
+            (d2_l < cover_thr2) | (dmap2 < map_cover_radius**2)
+        ) & cover_rows[:, None]  # [L, M]
         has_cover = jnp.any(gate, axis=0)  # [M]
 
         # candidate lifecycle

@@ -59,20 +59,25 @@ class ISAM2Navigator:
                  dtype=np.float64, da_algorithm=None, full_solve_every=8,
                  cand_cap=128, marginals_every=4, merge_threshold=0.0,
                  cover_threshold=None, solve_dtype=np.float64,
-                 dup_merge_radius=0.5, dup_min_obs=6, dup_coobs_frac=0.15):
+                 dup_merge_radius=0.0, dup_min_obs=6, dup_coobs_frac=0.15,
+                 map_cover_radius=0.3):
         self.model = model
         self.cfg = cfg
-        self.dtype = dtype
-        # The graph solve + marginals always run in float64 on the host CPU
-        # backend by default, regardless of the simulation dtype: the
-        # reference's gtsam solves in C++ doubles too (isam2.cpp:245), and
-        # a float32 batch solve of the ~1800-dim reduced pose system was
-        # measured to corrupt landmark estimates enough to re-trigger the
-        # duplicate-promotion cascade (chap4-cluttery grid row: 150
-        # landmarks in the f32 replay vs 43 in f64, round 4). The
+        # The ENTIRE host-interactive navigator (association math, graph
+        # solve, marginals) runs in float64 regardless of the simulation
+        # dtype, with the solve pinned to the host CPU backend: the
+        # reference's FindLabels + gtsam run in C#/C++ doubles too
+        # (ISAM2Navigator.cs, isam2.cpp:245), and float32 was measured to
+        # corrupt this path twice over in round 4 -- an f32 batch solve of
+        # the ~1800-dim reduced pose system degraded landmark estimates
+        # enough to re-trigger the duplicate-promotion cascade
+        # (chap4-cluttery grid row: 150 landmarks in f32 vs 43 in f64),
+        # and even with an f64 solve, f32 association state kept
+        # over-birthing (73 landmarks by frame 200 vs 36 all-f64). The
+        # incoming `dtype` is accepted for API compatibility; the
         # TPU-native float32 path is the jitted scan (isam2_scan*.py),
-        # which pins matmul precision instead. Association stays in
-        # simulation dtype on the default device.
+        # which pins matmul precision instead.
+        self.dtype = solve_dtype
         self.solve_dtype = solve_dtype
         try:
             self._solve_device = jax.local_devices(backend="cpu")[0]
@@ -101,6 +106,7 @@ class ISAM2Navigator:
         self.meas_dim = d
 
         # host mirrors of the graph (bulk-uploaded per frame)
+        dtype = self.dtype  # internal float64 (see above)
         self.poses_np = np.tile(np.asarray(init_pose, dtype), (max_poses, 1))
         self.n_poses = 1
         self.landmarks_np = np.zeros((max_landmarks, 3), dtype)
@@ -124,14 +130,26 @@ class ISAM2Navigator:
         self.meas_info = jnp.asarray(np.diag(1.0 / meas_sigma**2), sd)
         self.meas_cov = jnp.asarray(np.diag(meas_sigma**2), sd)
 
-        # co-observation duplicate discipline (round 4): duplicate labels of
-        # one physical landmark are almost never matched in the SAME frame
-        # (one detection per point per frame), while genuinely close
-        # landmark pairs are co-detected in most co-visible frames
-        # (PD^2 = 0.81 at the default configs). Track per-label observation
-        # counts and pairwise same-frame co-observation counts; merge
-        # close, never-co-observed pairs (see _merge_duplicates).
+        # co-observation duplicate merge: OFF by default. The idea (duplicate
+        # labels of one physical landmark are never matched in the same
+        # frame, true close pairs are co-detected at PD^2) is sound only
+        # under reliable association -- measured on chap4-noisy, label
+        # flipping between true neighbors suppresses their recorded
+        # co-occurrence and the merge then fuses TRUE pairs, blowing the
+        # graph up (ATE 0.12 -> 0.94). Duplication is suppressed at the
+        # source instead (map_cover_radius below).
         self.dup_merge_radius = dup_merge_radius
+        # map-space cover (round 4): a measurement whose back-projection is
+        # within map_cover_radius of an UNMATCHED proven landmark cannot
+        # seed or promote a candidate. Complements the projected-metric
+        # penumbra (cover_threshold): under the degraded configs a
+        # mis-estimated landmark misses its own detection at d2 130-2400 --
+        # beyond any usable gate radius -- while the detection back-projects
+        # 0.04-0.37 m from it (measured, tools/isam2_lab.py). True close
+        # neighbors still promote: the covering landmark must be UNMATCHED,
+        # and a genuine neighbor is matched to its own measurement ~PD of
+        # frames, so its neighbor's candidate promotes within a few frames.
+        self.map_cover_radius = map_cover_radius
         self.dup_min_obs = dup_min_obs
         self.dup_coobs_frac = dup_coobs_frac
         self.obs_count = np.zeros(max_landmarks, np.int64)
@@ -337,7 +355,14 @@ class ISAM2Navigator:
         ]
         if cover_rows:
             gate_rows = d2_l[cover_rows][:, :m] < thr2_f
-            has_cover = gate_rows.any(axis=0)
+            # map-space cover: back-projection near an unmatched proven
+            # landmark (see __init__ map_cover_radius note)
+            dmap = np.linalg.norm(
+                self._backproj[None, :m, :]
+                - self.landmarks_np[cover_rows][:, None, :],
+                axis=-1,
+            )
+            has_cover = (gate_rows | (dmap < self.map_cover_radius)).any(axis=0)
         else:
             has_cover = np.zeros(m, bool)
         for i in range(nv):
