@@ -58,7 +58,7 @@ class ScanDACarry(NamedTuple):
 def build_mahalanobis_scan(cfg, world, frames, dtype=jnp.float32,
                            max_clutter=8, max_landmarks=None, cand_cap=16,
                            marginals_every=4, eps=0.01, seed=0,
-                           map_cover_radius=0.3):
+                           map_cover_radius=0.0):
     """Return (runner, init_carry, model). runner(carry, commands) scans the
     vehicle + Mahalanobis-DA graph-SLAM pipeline; per-frame outputs
     (true_pose, estimated_pose, n_landmarks)."""

@@ -60,7 +60,7 @@ class ISAM2Navigator:
                  cand_cap=128, marginals_every=4, merge_threshold=0.0,
                  cover_threshold=None, solve_dtype=np.float64,
                  dup_merge_radius=0.0, dup_min_obs=6, dup_coobs_frac=0.15,
-                 map_cover_radius=0.3):
+                 map_cover_radius=0.0):
         self.model = model
         self.cfg = cfg
         # The ENTIRE host-interactive navigator (association math, graph
@@ -139,16 +139,19 @@ class ISAM2Navigator:
         # graph up (ATE 0.12 -> 0.94). Duplication is suppressed at the
         # source instead (map_cover_radius below).
         self.dup_merge_radius = dup_merge_radius
-        # map-space cover (round 4): a measurement whose back-projection is
-        # within map_cover_radius of an UNMATCHED proven landmark cannot
-        # seed or promote a candidate. Complements the projected-metric
-        # penumbra (cover_threshold): under the degraded configs a
-        # mis-estimated landmark misses its own detection at d2 130-2400 --
-        # beyond any usable gate radius -- while the detection back-projects
-        # 0.04-0.37 m from it (measured, tools/isam2_lab.py). True close
-        # neighbors still promote: the covering landmark must be UNMATCHED,
-        # and a genuine neighbor is matched to its own measurement ~PD of
-        # frames, so its neighbor's candidate promotes within a few frames.
+        # map-space cover: OFF by default. A measurement whose
+        # back-projection is within map_cover_radius of an UNMATCHED proven
+        # landmark cannot seed or promote a candidate -- the map-space twin
+        # of the projected-metric penumbra, aimed at degraded-config
+        # duplicates that land 0.04-0.37 m from their source landmark at
+        # d2 130-2400 (beyond any usable gate radius). Measured on the
+        # chap4 grids (tools/isam2_lab.py, round 4): at radius 0.3 it
+        # suppresses TRUE landmarks in this 0.17 m-median-spacing world
+        # faster than duplicates (default config 43 -> 29 mapped landmarks,
+        # OSPA 0.101 -> 0.299; noisy ATE 0.12 -> 0.26) -- the float64
+        # pinning above is what actually fixes the degraded configs
+        # (cluttery 150 -> 43 landmarks). Kept as an opt-in for sparse
+        # worlds (spacing >> radius), where its assumptions hold.
         self.map_cover_radius = map_cover_radius
         self.dup_min_obs = dup_min_obs
         self.dup_coobs_frac = dup_coobs_frac
