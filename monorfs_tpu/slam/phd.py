@@ -337,32 +337,42 @@ def _correct_prune_soa(model, cfg, params, fns, pose, pred: SGM, zl, z_mask):
 
     assign = (leader[None, :] == idx[:, None]) & live[None, :]
     w = jnp.where(live, jnp.exp(top_logw), 0.0)
-    cw = (assign * w[None, :]).astype(dtype)  # [K_out leader, K_out member]
-    wsum_l = jnp.sum(cw, axis=1)
-    safe = jnp.maximum(wsum_l, 1e-30)
 
     # Moment-matching merge (Gaussian.Merge, Gaussian.cs:297-347) centered
-    # at each LEADER's mean. The naive raw-second-moment form
+    # at each member's LEADER mean. The naive raw-second-moment form
     # (cov = E[x x^T] - mean mean^T) cancels O(|mean|^2) terms to recover
     # O(sigma^2) covariances -- in float32 that injects |mean|^2 * eps
     # absolute noise into EVERY live covariance EVERY frame (each leader
     # pools itself through its second moment even when nothing merges).
-    # Centered at the leader, all pooled quantities are O(merge_threshold
-    # * sigma): no cancellation at any dtype. `diff` ([leader, member]
-    # member-minus-leader mean deltas) already exists from the gate above.
-    dsum = [jnp.sum(cw * di, axis=1) for di in diff]  # [K_out] per coord
-    delta_m = [ds / safe for ds in dsum]  # pooled mean offset from leader
-    mean_m = [mi + dm for mi, dm in zip(mean_s, delta_m)]
-    # pooled member covariances (pure convex combination; one matmul)
-    covfeat = jnp.stack(list(cov_s), axis=-1)  # [K_out member, 6]
-    covpool = _exact_dot(cw, covfeat) / safe[:, None]  # [K_out leader, 6]
+    # Centered per member at its own leader, every pooled quantity is
+    # O(merge_threshold * sigma): the only cancellation left is the LINEAR
+    # mean-minus-leadermean difference (error eps * |mean|, harmless).
+    # Each member has exactly one leader, so the pooling is a segment sum
+    # = ONE one-hot matmul over 16 channels (the [K, K] elementwise form
+    # measured 368 -> 224 fps on the bench; matmuls ride the MXU).
+    assign_f = assign.astype(dtype)  # [K_out leader, K_out member]
+    mean_feat = jnp.stack(list(mean_s), axis=-1)  # [K_out, 3]
+    leader_mean = _exact_dot(assign_f.T, mean_feat)  # member k -> its
+    # leader's mean (zero for unassigned/dead members; their w is 0 below)
+    dvec = mean_feat - leader_mean  # [K_out member, 3], O(threshold*sigma)
+    dv = [dvec[:, a] for a in range(3)]
     pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
-    spread = tuple(
-        jnp.sum(cw * diff[a] * diff[b], axis=1) / safe
-        - delta_m[a] * delta_m[b]
-        for a, b in pairs
+    chans = (
+        [w]
+        + [w * dv[a] for a in range(3)]
+        + [w * dv[a] * dv[b] for a, b in pairs]
+        + [w * cov_s[i] for i in range(6)]
     )
-    cov_m = tuple(covpool[..., i] + spread[i] for i in range(6))
+    pooled = _exact_dot(assign_f, jnp.stack(chans, axis=-1))  # [K_out, 16]
+    wsum_l = pooled[..., 0]
+    safe = jnp.maximum(wsum_l, 1e-30)
+    delta_m = [pooled[..., 1 + a] / safe for a in range(3)]
+    mean_m = [mi + dm for mi, dm in zip(mean_s, delta_m)]
+    spread = tuple(
+        pooled[..., 4 + i] / safe - delta_m[a] * delta_m[b]
+        for i, (a, b) in enumerate(pairs)
+    )
+    cov_m = tuple(pooled[..., 10 + i] / safe + spread[i] for i in range(6))
 
     out_alive = is_leader & (wsum_l > 0)
     out_logw = jnp.where(out_alive, jnp.log(safe), DEAD)
