@@ -153,6 +153,12 @@ def main():
 
     import jax
 
+    # float64 must be AVAILABLE process-wide: the isam2 navigator solves in
+    # f64 on the host CPU regardless of simulation dtype (isam2nav.py);
+    # without x64, jnp silently truncates those arrays to f32 (observed:
+    # the whole round-3 chap4 f32 duplication cascade). The phd driver
+    # stays f32 -- every array it builds carries an explicit dtype.
+    jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     backend = check_backend()

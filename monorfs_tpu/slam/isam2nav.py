@@ -79,6 +79,19 @@ class ISAM2Navigator:
         # which pins matmul precision instead.
         self.dtype = solve_dtype
         self.solve_dtype = solve_dtype
+        if (
+            np.dtype(solve_dtype) == np.float64
+            and not jax.config.jax_enable_x64
+        ):
+            # without x64, jnp.asarray(..., float64) silently truncates to
+            # f32 and the entire f64 discipline above evaporates (observed:
+            # the chap4 grid's isam2 rows re-grew duplicate maps through
+            # exactly this silent truncation). Enabling it here only
+            # affects traces made after this point; already-compiled f32
+            # steps (e.g. the PHD driver) keep their explicit dtypes.
+            print("isam2nav: enabling jax x64 for the float64 graph solve",
+                  flush=True)
+            jax.config.update("jax_enable_x64", True)
         try:
             self._solve_device = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
