@@ -193,11 +193,13 @@ class ISAM2Navigator:
         if self.onlymapping and true_pose is not None:
             self.pose = np.asarray(true_pose, self.dtype)
         else:
-            self.pose = np.asarray(
-                self.model.pose.add_odometry(
-                    jnp.asarray(self.pose), jnp.asarray(odometry, self.dtype)
+            with self._on_solve_device():
+                self.pose = np.asarray(
+                    self.model.pose.add_odometry(
+                        jnp.asarray(self.pose),
+                        jnp.asarray(odometry, self.dtype),
+                    )
                 )
-            )
 
     # ------------------------------------------------------------------
 
@@ -288,12 +290,14 @@ class ISAM2Navigator:
             cand[k] = c
             cand_mask[k] = True
 
-        vis, prof_l, prof_c, backproj, d2_l = self._assoc_fn(
-            jnp.asarray(self.pose), jnp.asarray(self.landmarks_np),
-            jnp.asarray(self.lm_mask_np), jnp.asarray(self.pl_cov, self.dtype),
-            jnp.asarray(cand), jnp.asarray(cand_mask), jnp.asarray(z),
-            jnp.asarray(z_mask),
-        )
+        with self._on_solve_device():
+            vis, prof_l, prof_c, backproj, d2_l = self._assoc_fn(
+                jnp.asarray(self.pose), jnp.asarray(self.landmarks_np),
+                jnp.asarray(self.lm_mask_np),
+                jnp.asarray(self.pl_cov, self.dtype),
+                jnp.asarray(cand), jnp.asarray(cand_mask), jnp.asarray(z),
+                jnp.asarray(z_mask),
+            )
         vis = np.asarray(vis)
         prof_l = np.asarray(prof_l)
         prof_c = np.asarray(prof_c)
