@@ -116,8 +116,63 @@ def main():
     print(f"{'beam 32x12':28s}: {ms:8.3f} ms")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--round4" not in sys.argv:
     main()
+    sys.exit(0)
 
 def variants():
     import tools_ablate_shim  # placeholder, unused
+
+
+def ablate_round4():
+    """Round-4 fps regression ablation (368 -> 219 after the f32 fixes):
+    isolate (a) the log-space WeightAlpha evaluation, (b) resample cadence
+    (round 3's NaN-skipped weights rarely triggered ESS resampling), at the
+    bench shapes on the current device."""
+    cfg = Config()
+    world = World.from_file(HERE / "assets" / "sim3d.world")
+    commands = parse_commands(open(HERE / "assets" / "mov3d.in").read())
+    pcfg = phd.PHDConfig(
+        num_particles=200, max_components=128, max_measurements=48,
+        gate_top=8, estimate_cap=48, beam_width=32, beam_meas_cap=24,
+        beam_candidates=6, merge_rounds=4, meas_compact=24,
+    )
+    dtype = jnp.float32
+    runner, carry, model = build_scan_runner(cfg, world, 200, phd_cfg=pcfg,
+                                             dtype=dtype)
+    cmds = jnp.asarray(np.stack([c[:6] for c in commands])[:100], dtype)
+    carry, _ = runner(carry, cmds)
+    jax.block_until_ready(carry)
+    params = cfg.phd_params(dtype)
+    state = carry.nstate
+    key = jax.random.PRNGKey(7)
+    z = jax.random.uniform(key, (48, 3), dtype)
+    z_mask = jnp.arange(48) < 40
+    odo = jnp.zeros((6,), dtype)
+
+    def run(label, params_=None):
+        step = jax.jit(phd.make_slam_step(model, pcfg, slam=True))
+        ms = timeit(step, params_ or params, state, odo, z, z_mask, key)
+        print(f"{label:34s}: {ms:8.3f} ms  ({1e3/ms:6.1f} fps)")
+        return ms
+
+    run("full (current)")
+
+    # (a) linear-space WeightAlpha evaluation (round-3 semantics)
+    orig_log_eval = mixture.log_evaluate_many_soa
+    mixture.log_evaluate_many_soa = lambda gm, pts, radius=None: jnp.log(
+        jnp.maximum(mixture.evaluate_many_soa(gm, pts, radius), 1e-30)
+    )
+    run("linear-space weight eval (r3)")
+    mixture.log_evaluate_many_soa = orig_log_eval
+
+    # (b) resample cadence: never vs always
+    run("resample never (ESS thr 0)",
+        params._replace(min_effective_particle=jnp.asarray(0.0, dtype)))
+    run("resample always (ESS thr 1)",
+        params._replace(min_effective_particle=jnp.asarray(1.0, dtype)))
+
+
+if __name__ == "__main__" and "--round4" in sys.argv:
+    ablate_round4()
+    sys.exit(0)
