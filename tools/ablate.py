@@ -172,6 +172,15 @@ def ablate_round4():
     run("resample always (ESS thr 1)",
         params._replace(min_effective_particle=jnp.asarray(1.0, dtype)))
 
+    # repeat the endpoints to expose timing pollution from concurrent
+    # chip users (the tunnel serializes programs)
+    run("full (repeat)")
+    mixture.log_evaluate_many_soa = lambda gm, pts, radius=None: jnp.log(
+        jnp.maximum(mixture.evaluate_many_soa(gm, pts, radius), 1e-30)
+    )
+    run("linear-space weight eval (rep)")
+    mixture.log_evaluate_many_soa = orig_log_eval
+
 
 if __name__ == "__main__" and "--round4" in sys.argv:
     ablate_round4()
