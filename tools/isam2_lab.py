@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--da", default=None)
     ap.add_argument("--dtype", default="float64", choices=["float32", "float64"])
+    ap.add_argument("--marginals-every", type=int, default=None)
+    ap.add_argument("--full-solve-every", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -58,6 +60,10 @@ def main():
         max_landmarks=max(4 * len(rec.world.landmarks), 64),
         meas_per_frame=max(max((len(z) for z in meas), default=1), 1),
         dtype=dtype, da_algorithm=args.da,
+        **{k: v for k, v in (
+            ("marginals_every", args.marginals_every),
+            ("full_solve_every", args.full_solve_every),
+        ) if v is not None},
     )
 
     promos = []

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--mix-cap", type=int, default=None)
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--ospa-each", action="store_true",
+                    help="also filter + report the map OSPA after every "
+                    "sweep (which sweep's state maps best?)")
     ap.add_argument("-g", "--config", default=None,
                     help="solver cfg (overrides the record's embedded cfg, "
                     "like the grid's -g flag)")
@@ -96,8 +99,13 @@ def main():
         series = [(times[i], traj[i]) for i in range(len(traj))]
         return rmse(ate_location(series, truth))
 
-    def ospa_of():
-        mm = nav.map_model()
+    def ospa_of(state=None):
+        if state is None:
+            mm = nav.map_model()
+        else:
+            gm = loopy.final_map(model, nav.lcfg, nav.params, state, nav.z,
+                                 nav.z_mask)
+            mm = nav._gm_components(gm)
         est = np.array([m for _, m, _ in mm]) if mm else np.zeros((0, 3))
         d = world_lm.shape[1] if world_lm.size else 3
         return ospa(est[:, :d] if est.size else est, world_lm, c=1.0)[0]
@@ -111,9 +119,13 @@ def main():
         ate_best = ate_of(
             np.asarray(loopy.fused_trajectory(model, nav.state))[:t]
         )
+        extra = ""
+        if args.ospa_each:
+            extra = (f"  OSPA(cur) {ospa_of(nav.state):.4f}"
+                     f"  OSPA(best) {ospa_of(nav.best_state):.4f}")
         print(
             f"sweep {s + 1:2d}: ATE(best) {ate:.4f}  ATE(cur) {ate_best:.4f}"
-            f"  obj {nav.best_objective:.1f}  [{time.time() - t0:.1f}s]",
+            f"  obj {nav.best_objective:.1f}{extra}  [{time.time() - t0:.1f}s]",
             flush=True,
         )
     final_ospa = ospa_of()
