@@ -990,11 +990,17 @@ def relinearize(model, state: LoopyState):
 
 def trajectory_objective(model, cfg: LoopyConfig, params, state: LoopyState,
                          odometry, z, z_mask, motion_cov):
-    """Model-selection score of the current fused trajectory: odometry chain
-    consistency + CROSS-VALIDATED measurement set log-likelihood -- frame t's
+    """Model-selection scores of the current fused trajectory, returned as
+    the pair (chain_term, measurement_term): odometry chain consistency,
+    and the CROSS-VALIDATED measurement set log-likelihood -- frame t's
     measurements are scored against the cavity map that excludes frame t's
     block. Used to select the best sweep (loopy message passing on this
     model is not monotone; the reference simply runs a fixed tick budget).
+    Callers sum the pair for the joint score; the measurement term alone
+    selects the MAP-estimate state (see loopynav: the annealed sweeps
+    trade held-out measurement consistency for chain smoothness, measured
+    to cost 0.02-0.12 final OSPA on every chap5 record while moving ATE
+    by <=0.02).
 
     Self-scoring (map built from and scored on the same frames) is not a
     usable selector: a deforming trajectory can always raise its own
@@ -1038,7 +1044,7 @@ def trajectory_objective(model, cfg: LoopyConfig, params, state: LoopyState,
 
     map_term = jax.vmap(node_ll)(jnp.arange(t))
     map_term = jnp.where(state.node_mask, map_term, 0.0)
-    return jnp.sum(chain) + jnp.sum(map_term)
+    return jnp.sum(chain), jnp.sum(map_term)
 
 
 def final_map(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask,
