@@ -89,8 +89,10 @@ def main_scan_da():
 
     frames = int(sys.argv[sys.argv.index("--frames") + 1]) \
         if "--frames" in sys.argv else 300
+    variant = sys.argv[sys.argv.index("--variant") + 1] \
+        if "--variant" in sys.argv else "default"
     cfg = Config.from_file(
-        HERE / "experiments" / "configs" / "chap4-default.cfg"
+        HERE / "experiments" / "configs" / f"chap4-{variant}.cfg"
     )
     world = World.from_file(HERE / "assets" / "sim3d.world")
     cmds = np.stack([
@@ -99,8 +101,20 @@ def main_scan_da():
     reps = int(np.ceil(frames / len(cmds)))
     cmds = jnp.asarray(np.tile(cmds, (reps, 1))[:frames], jnp.float32)
 
+    # size the static clutter slots to the config's Poisson cap
+    # (floor(10 * lambda); the builder asserts otherwise)
+    import math
+
+    from monorfs_tpu.sim.simulation import model_for_config
+
+    model_pre = model_for_config(cfg, world)
+    lam = float(cfg.clutter_density) * float(
+        model_pre.volume(model_pre.params)
+    )
+    max_clutter = max(8, int(math.floor(10 * lam)) + 1)
     runner, carry, model = build_mahalanobis_scan(
-        cfg, world, frames=frames, dtype=jnp.float32
+        cfg, world, frames=frames, dtype=jnp.float32,
+        max_clutter=max_clutter,
     )
     t0 = time.perf_counter()
     _, (tp, ep, nlm) = runner(carry, cmds)
@@ -118,7 +132,7 @@ def main_scan_da():
     dev = jax.devices()[0]
     print(json.dumps({
         "metric": "frames/sec isam2-equivalent 3D sim "
-                  "(jitted scan, Mahalanobis DA)",
+                  f"(jitted scan, Mahalanobis DA, {variant})",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
