@@ -83,13 +83,17 @@ class LoopyPHDNavigator:
         self.sweeps = 0
         self.best_state = None
         self.best_objective = -np.inf
-        # the map estimate conditions on the state whose fused trajectory
-        # best explains HELD-OUT measurements (the objective's CV map term
-        # alone): the annealed sweeps improve the joint objective by chain
-        # smoothness while degrading map quality (measured on every chap5
-        # record: refit-state OSPA 0.387/0.403/0.802 vs selected-state
-        # 0.404-0.519/0.817 on s2/k3/k4), so trajectory and map use
-        # separate, individually-defensible selectors
+        # Round-4 selection study (tools/smoother_lab.py --ospa-each): the
+        # sequential-refit state maps best on every chap5 record (OSPA
+        # 0.387/0.403/0.802 on s2/k3/k4 vs 0.404-0.519/0.817 for the
+        # joint-objective-selected sweep states), but NO internal score
+        # tracks that: selecting the map state by the cross-validated
+        # measurement term alone was tried and measured WORSE on the grid
+        # (k3 OSPA 0.519 -> 0.597) -- the CV term also prefers late-sweep
+        # states. Both estimates therefore stay on the single
+        # joint-objective selector (the reference has no selection at all;
+        # it reports the last Gauss-Seidel state). best_map_state is kept
+        # as a diagnostic of the measurement-term argmax.
         self.best_map_state = None
         self.best_map_objective = -np.inf
 
@@ -172,8 +176,8 @@ class LoopyPHDNavigator:
 
     @property
     def result_map_state(self):
-        if self.best_map_state is not None:
-            return self.best_map_state
+        # see the selection-study note in __init__: maps follow the joint
+        # selector; best_map_state remains a diagnostic only
         return self.result_state
 
     @property
