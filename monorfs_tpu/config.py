@@ -94,9 +94,14 @@ class Config:
     gradient_clip: float = 10.0
     # offline smoother schedule: 1 sequential-refit pass + (loopy_sweeps-1)
     # Jacobi BP sweeps (the reference drives sweeps off its command-file
-    # tick budget, LoopyPHDNavigator.cs:367-377; a fixed count with
-    # best-objective selection reaches the same plateau)
-    loopy_sweeps: int = 6
+    # tick budget, LoopyPHDNavigator.cs:367-377). Default 3 = the measured
+    # convergence plateau of the refit-first schedule: per-sweep probes on
+    # every chap5 record (tools/smoother_lab.py --ospa-each, round 4) show
+    # the refit state already at the quality plateau, later Jacobi sweeps
+    # moving ATE by <= 0.02 while costing up to 0.1 final OSPA, and the
+    # joint-objective selector only switching away from the refit state
+    # from sweep ~4 on -- so the budget is the effective selector
+    loopy_sweeps: int = 3
 
     # ISAM2Navigator
     match_threshold: float = 3.0

@@ -182,10 +182,9 @@ class Simulation:
             # offline smoother: an inner online pass provides the initial
             # estimate (LoopyPHDNavigator ctor semantics,
             # LoopyPHDNavigator.cs:223-246); sweeps run in run().
-            # default 6 = the sequential-refit pass + 5 Jacobi smoothing
-            # sweeps: on every chap5 record the refit dominates and later
-            # sweeps only fine-tune (best-objective selection keeps the
-            # winner). Overridable via the LoopySweeps config key.
+            # sequential-refit pass + (loopy_sweeps - 1) Jacobi sweeps;
+            # see Config.loopy_sweeps for the measured budget rationale.
+            # Overridable via the LoopySweeps config key.
             self.loopy_sweeps = cfg.loopy_sweeps
             self.mode_mapping = False
         else:
