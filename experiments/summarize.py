@@ -24,6 +24,7 @@ def main(outdir=None):
                 s.get("ate_loc_rmse"), s.get("ate_rot_rmse"),
                 s.get("final_ospa"), s.get("elapsed_s"),
                 s.get("frames"), s.get("mean_measurements"),
+                s.get("fps"), s.get("step_ms"), s.get("ate_rmse_loc"),
             ))
 
     def fmt(v, nd=4):
@@ -43,7 +44,13 @@ def main(outdir=None):
         "final OSPA | elapsed s |",
         "|---|---|---|---|---|---|",
     ]
-    for exp, alg, loc, rot, ospa, el, frames, mm in rows:
+    for exp, alg, loc, rot, ospa, el, frames, mm, fps, step_ms, s_ate in rows:
+        if fps is not None:
+            lines.append(
+                f"| {exp} | {alg} | fps={fmt(fps, 4)} "
+                f"step={fmt(step_ms, 4)} ms | {fmt(s_ate)} | — | — |"
+            )
+            continue
         if loc is None and frames is not None:
             lines.append(
                 f"| {exp} | {alg} | frames={frames} "
@@ -73,6 +80,14 @@ def main(outdir=None):
             exp = f.name.replace(".stats.json", "")
             for alg, s in stats.items():
                 if not isinstance(s, dict):
+                    continue
+                if s.get("fps") is not None:
+                    # throughput sweep rows (compile-free scan fps)
+                    lines.append(
+                        f"| {exp} | {alg} | fps={fmt(s.get('fps'), 4)} "
+                        f"step={fmt(s.get('step_ms'), 4)} ms "
+                        f"| {fmt(s.get('ate_rmse_loc'))} | — | — |"
+                    )
                     continue
                 lines.append(
                     f"| {exp} | {alg} | {fmt(s.get('ate_loc_rmse'))} "
