@@ -460,7 +460,8 @@ def run_grid(args, experiments, post=None):
         fn = experiments[name]
         kwargs = (
             {"variant": args.variant}
-            if name == "chap4-s1" and "variant" in fn.__code__.co_varnames
+            if "variant" in fn.__code__.co_varnames
+            and getattr(args, "variant", None) is not None
             else {}
         )
         tag = name if name != "chap4-s1" else f"chap4-{args.variant}"

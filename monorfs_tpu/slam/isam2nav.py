@@ -89,8 +89,13 @@ class ISAM2Navigator:
             # exactly this silent truncation). Enabling it here only
             # affects traces made after this point; already-compiled f32
             # steps (e.g. the PHD driver) keep their explicit dtypes.
-            print("isam2nav: enabling jax x64 for the float64 graph solve",
-                  flush=True)
+            import warnings
+
+            warnings.warn(
+                "isam2nav: enabling jax x64 process-wide for the float64 "
+                "graph solve; enable jax_enable_x64 at process start to "
+                "avoid mid-run retraces of default-dtype code",
+                RuntimeWarning, stacklevel=2)
             jax.config.update("jax_enable_x64", True)
         try:
             self._solve_device = jax.local_devices(backend="cpu")[0]
@@ -653,7 +658,8 @@ class ISAM2Navigator:
         if len(idx) < 2:
             return False
 
-        # (1) co-observation criterion (round 4, ON by default): two labels
+        # (1) co-observation criterion (gated on dup_merge_radius > 0,
+        # OFF by default): two labels
         # of the SAME physical landmark split its one detection per frame
         # between them, so they are (almost) never matched in the same
         # frame; two genuinely close landmarks are co-detected in most

@@ -59,7 +59,7 @@ def main():
         max_poses=n + 2,
         max_landmarks=max(4 * len(rec.world.landmarks), 64),
         meas_per_frame=max(max((len(z) for z in meas), default=1), 1),
-        dtype=dtype, da_algorithm=args.da,
+        dtype=dtype, solve_dtype=dtype, da_algorithm=args.da,
         **{k: v for k, v in (
             ("marginals_every", args.marginals_every),
             ("full_solve_every", args.full_solve_every),
