@@ -54,6 +54,10 @@ class LoopyConfig:
     refit_passes: int = 1  # EM iterations: pass k re-localizes against the
     # map built from pass k-1's corrected trajectory (measured: pass 2 is a
     # fixed point on every chap5 record -- the default stays at 1)
+    freeze_map_after: int = 2  # total sweeps (refit passes + BP sweeps)
+    # after which map messages freeze and sweeps become pure Gaussian BP on
+    # the chain (make_sweep freeze_map). Default: one refit + one map fit,
+    # then chain-only convergence. 0 = never freeze (reference behavior).
     ga_iters: int = 8
     ga_steps: int = 4  # parallel line-search fan per iteration
     jmap_cap: int = 32
@@ -877,6 +881,13 @@ def map_sweep(model, cfg: LoopyConfig, params, state: LoopyState, z, z_mask,
     return state._replace(fused_mean=fused_mean, fused_cov=fused_cov)
 
 
+def refuse_map(model, state: LoopyState):
+    """Re-fuse past x future x the STORED map messages (no refit): the
+    frozen-map sweep's fusion step (see make_sweep freeze_map)."""
+    fused_mean, fused_cov = _fuse3(state)
+    return state._replace(fused_mean=fused_mean, fused_cov=fused_cov)
+
+
 # ----------------------------------------------------------------------
 
 
@@ -905,21 +916,38 @@ def gauge_fix_shear(state: LoopyState):
     )
 
 
-def make_sweep(model, cfg: LoopyConfig, causal=False, damping=0.6):
+def make_sweep(model, cfg: LoopyConfig, causal=False, damping=0.6,
+               freeze_map=False):
     """One full Jacobi sweep: forward + backward + map messages. With
     causal=True the map messages use the first-pass filtering maps.
 
     `damping` blends the new fused belief with the previous sweep's in
     information form (standard Jacobi-BP damping; the reference's one-node-
-    at-a-time Gauss-Seidel schedule needs none, a parallel sweep does)."""
+    at-a-time Gauss-Seidel schedule needs none, a parallel sweep does).
+
+    freeze_map=True skips the map-message refit and reuses the messages
+    stored in the state: the sweep becomes pure Gaussian BP on the pose
+    chain with fixed map factors, which CONVERGES to the exact Gaussian
+    smoother for those factors. Round-5 measurement (tools/smoother_lab.py,
+    chap5 s2/k3): re-fitting the map messages every sweep makes the
+    estimate wander around the sequential-refit solution -- the joint
+    likelihood has noise-fit maxima whose maps score 10-30% worse OSPA
+    against the true map -- at no ATE gain; freezing after the first
+    fit keeps the refit's map consistency while the chain still smooths
+    backward information through (what the reference's annealed rounds
+    were for, LoopyPHDNavigator.cs:367-388)."""
 
     def sweep(params, state, odometry, z, z_mask, temperature, grad_clip,
               grad_rate, motion_cov):
         old_mean, old_cov = state.fused_mean, state.fused_cov
         state = forward_sweep(model, state, odometry, motion_cov)
         state = backward_sweep(model, state, odometry, motion_cov)
-        state = map_sweep(model, cfg, params, state, z, z_mask, temperature,
-                          grad_clip, grad_rate, causal=causal)
+        if not freeze_map:
+            state = map_sweep(model, cfg, params, state, z, z_mask,
+                              temperature, grad_clip, grad_rate,
+                              causal=causal)
+        else:
+            state = refuse_map(model, state)
         if damping < 1.0:
             a = jnp.asarray(damping, state.fused_mean.dtype)
             inew = gaussian.inv(state.fused_cov)

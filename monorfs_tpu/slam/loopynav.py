@@ -18,7 +18,7 @@ from . import loopy
 class LoopyPHDNavigator:
     def __init__(self, model, cfg, trajectory, odometry, measurements,
                  max_meas=16, dtype=np.float64, loopy_cfg=None,
-                 link_cov=None):
+                 link_cov=None, anneal_t0=None):
         """trajectory: [T, S] initial estimate; odometry: list of readings
         (odometry[t] produced pose t from pose t-1); measurements: list of
         per-frame measurement lists."""
@@ -69,6 +69,9 @@ class LoopyPHDNavigator:
         self._sweep_causal = jax.jit(
             loopy.make_sweep(model, self.lcfg, causal=True)
         )
+        self._sweep_frozen = jax.jit(
+            loopy.make_sweep(model, self.lcfg, freeze_map=True)
+        )
         self._refit = (
             jax.jit(loopy.make_sequential_refit(model, self.lcfg))
             if self.lcfg.refit else None
@@ -81,6 +84,18 @@ class LoopyPHDNavigator:
             )
         )
         self.sweeps = 0
+        # Annealing start temperature for the BP sweeps. The reference
+        # anneals at 5/(sweep+1) (LoopyPHDNavigator.cs:369-370) because its
+        # init comes from an inner PHD run it wants to re-melt; after the
+        # sequential refit the estimate is already in the right basin and
+        # reheating measurably destroys the map (chap5-s2 lab: sweep-2 OSPA
+        # 0.387 -> 0.530 at T=2.5). With refit on, the sweeps therefore
+        # run cold (t0=0: map-message covariance keeps its 1x pf_cov base
+        # but no annealing inflation); without refit the reference schedule
+        # is kept.
+        if anneal_t0 is None:
+            anneal_t0 = 0.0 if self.lcfg.refit else 5.0
+        self.anneal_t0 = float(anneal_t0)
         self.best_state = None
         self.best_objective = -np.inf
         # Round-4 selection study (tools/smoother_lab.py --ospa-each): the
@@ -126,9 +141,20 @@ class LoopyPHDNavigator:
                 self.best_objective = obj
                 self.best_state = self.state
             return self
-        temperature = jnp.asarray(5.0 / (self.sweeps + 1), self.dtype)
+        bp_sweeps = max(self.sweeps - self.lcfg.refit_passes, 0)
+        temperature = jnp.asarray(
+            self.anneal_t0 / (bp_sweeps + 1), self.dtype
+        )
         use_causal = self.sweeps == 0 and self._refit is None
-        fn = self._sweep_causal if use_causal else self._sweep
+        frozen = (
+            self.lcfg.freeze_map_after
+            and self.sweeps >= self.lcfg.freeze_map_after
+        )
+        fn = (
+            self._sweep_causal if use_causal
+            else self._sweep_frozen if frozen
+            else self._sweep
+        )
         self.state = fn(
             self.params, self.state, self.odometry, self.z, self.z_mask,
             temperature, self.grad_clip, self.grad_rate, self.motion_cov,

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from ..gm import gaussian, mixture, smallmat
 from ..gm.mixture import ALIVE_THRESHOLD, DEAD, GM, SGM
-from . import association, beam_pallas
+from . import association, beam_pallas, fused_pallas
 
 
 # log(1e-300): the reference evaluates map densities in C# doubles and its
@@ -70,7 +70,9 @@ class PHDConfig:
     num_particles: int = 200
     max_components: int = 600  # MaxQuantity (Config.cs:83)
     max_measurements: int = 32
-    gate_top: int = 16  # AoS spec path only (dense SoA path needs no cap)
+    gate_top: int = 16  # per-measurement survivor cap: AoS spec path gate
+    # truncation AND the fused Pallas kernel's per-row extraction bound
+    # (fused_pallas.py; the dense XLA SoA path needs no cap)
     estimate_cap: int = 128  # cap on the MAP map estimate size
     beam_width: int = 200  # association hypotheses (PHDNavigator.cs:469)
     beam_meas_cap: int = 0  # beam scan length; 0 = max_measurements.
@@ -496,7 +498,7 @@ def resample(state: PHDState, key):
 
 
 def make_slam_step(model, cfg: PHDConfig, slam: bool = True,
-                   pallas_beam=None):
+                   pallas_beam=None, pallas_correct=None):
     """Build the jittable full SLAM step:
     (params, state, odometry, z, z_mask, key[, true_pose]) -> state.
 
@@ -506,7 +508,12 @@ def make_slam_step(model, cfg: PHDConfig, slam: bool = True,
 
     pallas_beam: run the association beam of the weight stage as one fused
     Pallas TPU kernel over all particles (beam_pallas.py) instead of the
-    per-particle XLA scan. None = auto (on for the TPU backend, float32)."""
+    per-particle XLA scan. None = auto (on for the TPU backend, float32).
+
+    pallas_correct: run births + correct + prune as ONE fused Pallas kernel
+    over all particles (fused_pallas.py) -- the roofline audit showed the
+    XLA stage memory-bound on ~346 MB/frame of intermediate HBM traffic
+    (BENCH.md). None = auto (TPU backend, float32, non-depth model)."""
     measure_s = model.measure_soa_fn()
     jac_s = model.jac_landmark_soa_fn()
     to_map_s = model.to_map_soa_fn()
@@ -518,6 +525,28 @@ def make_slam_step(model, cfg: PHDConfig, slam: bool = True,
             and beam_pallas.recommended(cfg.beam_width)
         )
     use_beam_kernel = slam and pallas_beam
+    if pallas_correct is None:
+        pallas_correct = (
+            jax.default_backend() == "tpu"
+            and not jax.config.jax_enable_x64
+            and fused_pallas.supported(model, cfg, jnp.float32)
+        )
+    use_fused_correct = pallas_correct
+
+    def weight_particle(params, pose, predicted, corrected, zl, z_mask):
+        fuzzy_s = model.fuzzy_visible_soa_fn(params.depth_map)
+        fns = (measure_s, jac_s, to_map_s, fuzzy_s)
+        if use_beam_kernel:
+            return _weight_alpha_soa(
+                model, cfg, params, fns, pose, predicted, corrected, zl,
+                z_mask, return_beam_inputs=True,
+            )
+        if slam:
+            return _weight_alpha_soa(
+                model, cfg, params, fns, pose, predicted, corrected, zl,
+                z_mask,
+            )
+        return jnp.zeros((), pose.dtype)
 
     def per_particle(params, pose, maps, zl, z_mask):
         fuzzy_s = model.fuzzy_visible_soa_fn(params.depth_map)
@@ -553,9 +582,21 @@ def make_slam_step(model, cfg: PHDConfig, slam: bool = True,
             z = z[order]
             z_mask = z_mask[order]
         zl = [z[:, i] for i in range(d)]
-        corrected, dlog = jax.vmap(
-            lambda pose, maps: per_particle(params, pose, maps, zl, z_mask)
-        )(state.pose, state.maps)
+        if use_fused_correct:
+            predicted, corrected = fused_pallas.fused_stage(
+                model, cfg, params, state.pose, state.maps, z, z_mask
+            )
+            dlog = jax.vmap(
+                lambda pose, pr, c: weight_particle(
+                    params, pose, pr, c, zl, z_mask
+                )
+            )(state.pose, predicted, corrected)
+        else:
+            corrected, dlog = jax.vmap(
+                lambda pose, maps: per_particle(
+                    params, pose, maps, zl, z_mask
+                )
+            )(state.pose, state.maps)
         if use_beam_kernel:
             rest, base, od, wk, bk = dlog
             n_words = (cfg.estimate_cap + 31) // 32

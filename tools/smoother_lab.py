@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--blocks", type=int, default=None)
     ap.add_argument("--mix-cap", type=int, default=None)
     ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--t0", type=float, default=None,
+                    help="annealing start temperature (default: 0 with "
+                    "refit, 5 without — see loopynav)")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--ospa-each", action="store_true",
                     help="also filter + report the map OSPA after every "
@@ -89,7 +92,7 @@ def main():
 
     nav = LoopyPHDNavigator(
         model, cfg, est_traj, odometry, meas, max_meas=max_meas, dtype=dtype,
-        loopy_cfg=lcfg,
+        loopy_cfg=lcfg, anneal_t0=args.t0,
     )
 
     truth = [(ti, s) for ti, s in rec.trajectory[:t]]
