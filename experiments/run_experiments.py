@@ -44,14 +44,15 @@ def run_cli(args):
     return time.time() - t0
 
 
-def analyze(recfile, outdir):
+def analyze(recfile, outdir, mode="timed"):
     from monorfs_tpu.postanalysis import analyze as _analyze, write_data_files
     from monorfs_tpu.io.recording import Recording
     from monorfs_tpu.metrics import rmse
 
     rec = Recording.load(recfile)
-    results = _analyze(rec)
-    write_data_files(results, str(recfile))
+    results = _analyze(rec, mode=mode)
+    prefix = str(recfile) if mode == "timed" else f"{recfile}.{mode}"
+    write_data_files(results, prefix)
     return {
         "ate_loc_rmse": rmse(results["loc"]),
         "ate_rot_rmse": rmse(results["rot"]),
@@ -105,6 +106,98 @@ def chap3_s1(outdir, particles=100):
                 str(out / "loc.png"), "ATE location")
     plot_series([phd, odo], ["phd", "odometry"], "map",
                 str(out / "ospa.png"), "OSPA map error")
+    return stats
+
+
+def chap3_s2(outdir):
+    """Mapping-only study (chap3/S2-mapping.sh): 1 particle, poses pinned
+    to groundtruth (-y), so the map error isolates the PHD update from
+    localization error."""
+    out = outdir / "chap3-s2"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = str(HERE / "configs" / "chap3-default.cfg")
+    rec = str(out / "phd.zip")
+    run_cli(["-f", str(ROOT / "assets/sim3d.world"),
+             "-c", str(ROOT / "assets/mov3d.in"), "-a", "phd",
+             "-p", "1", "-y", "-g", cfg, "-r", rec])
+    return {"phd-mapping": analyze(rec, out)}
+
+
+def chap3_s3(outdir, particles=100):
+    """History plot modes (chap3/S3-plotmodes.sh): one PHD solve analyzed
+    under the filter / smooth / timed history semantics (Plot.cs:325-369),
+    .data files suffixed per mode like the reference's mv chain."""
+    out = outdir / "chap3-s3"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = str(HERE / "configs" / "chap3-default.cfg")
+    rec = str(out / "phd.zip")
+    run_cli(["-f", str(ROOT / "assets/sim3d.world"),
+             "-c", str(ROOT / "assets/mov3d.in"), "-a", "phd",
+             "-p", str(particles), "-g", cfg, "-r", rec])
+    stats = {}
+    for mode in ("filter", "smooth", "timed"):
+        stats[mode] = analyze(rec, out, mode=mode)
+    plot_series(
+        [rec if m == "timed" else f"{rec}.{m}" for m in
+         ("filter", "smooth", "timed")],
+        ["filter", "smooth", "timed"], "loc", str(out / "loc.png"),
+        "ATE by history mode",
+    )
+    return stats
+
+
+def chap3_s5(outdir, particles=100):
+    """Imprecise statistics (chap3/S5-imprecisestatistics.sh): the
+    navigator's model deliberately mismatches the truth via the covariance
+    multipliers (stat2 believes noise 1.2x, stat3 0.8x; Config.cs:88-91,
+    applied PHDNavigator.cs:257-259). All solves replay stat1's record."""
+    out = outdir / "chap3-s5"
+    out.mkdir(parents=True, exist_ok=True)
+    base = str(out / "stat1.zip")
+    run_cli(["-f", str(ROOT / "assets/sim3d.world"),
+             "-c", str(ROOT / "assets/mov3d.in"), "-a", "phd",
+             "-p", str(particles),
+             "-g", str(HERE / "configs" / "chap3-stat1.cfg"), "-r", base])
+    stats = {"stat1": analyze(base, out)}
+    for name in ("stat2", "stat3"):
+        rec = str(out / f"{name}.zip")
+        run_cli(["-f", base, "-i", "record", "-a", "phd",
+                 "-p", str(particles),
+                 "-g", str(HERE / "configs" / f"chap3-{name}.cfg"),
+                 "-r", rec])
+        stats[name] = analyze(rec, out)
+    odo = str(out / "odometry.zip")
+    run_cli(["-f", base, "-i", "record", "-a", "odometry",
+             "-g", str(HERE / "configs" / "chap3-stat1.cfg"), "-r", odo])
+    stats["odometry"] = analyze(odo, out)
+    plot_series([base, str(out / "stat2.zip"), str(out / "stat3.zip"), odo],
+                ["stat1 (exact)", "stat2 (1.2x)", "stat3 (0.8x)",
+                 "odometry"], "map", str(out / "ospa.png"),
+                "OSPA under model mismatch")
+    return stats
+
+
+def chap4_s7(outdir, particles=100):
+    """Preprocessing ablation (chap4/S7-preprocessing.sh): iSAM2 with the
+    default candidate discipline (NewLandmarkThreshold 3) vs none
+    (nopreprocessing.cfg: threshold 1 -- every unmatched measurement
+    births a landmark immediately), on one shared PHD record."""
+    out = outdir / "chap4-s7"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = str(HERE / "configs" / "chap4-default.cfg")
+    cfg_no = str(HERE / "configs" / "chap4-nopre.cfg")
+    base = str(out / "phd.zip")
+    run_cli(["-f", str(ROOT / "assets/sim3d.world"),
+             "-c", str(ROOT / "assets/mov3d.in"), "-a", "phd",
+             "-p", str(particles), "-g", cfg, "-r", base])
+    stats = {"phd": analyze(base, out)}
+    legs = [("odometry", "odometry", cfg), ("isam2", "isam2", cfg),
+            ("isam2-nopre", "isam2", cfg_no)]
+    for name, alg, legcfg in legs:
+        rec = str(out / f"{name}.zip")
+        run_cli(["-f", base, "-i", "record", "-a", alg, "-g", legcfg,
+                 "-r", rec])
+        stats[name] = analyze(rec, out)
     return stats
 
 
@@ -387,6 +480,125 @@ def chap3_k6real(outdir, frames=24):
     return stats
 
 
+def chap4_k9(outdir, particles=50, frames=24):
+    """Real-sensor comparison (chap4/K9-realsensor.sh): PHD full SLAM vs
+    odometry vs iSAM2 on one real-pixel RGB-D sequence (assets/tum_real;
+    the zero-egress stand-in for room.oni -- see make_real_fixture.py).
+
+    Odometry commands feed the analytic camera motion (the reference's
+    movroom.in scripted odometry); ATE is against the analytic trajectory.
+    Map OSPA is against the reference map: the measurement back-projections
+    at the TRUE poses, merged at 5 cm -- the best map any solver could
+    build from these detections, so the metric isolates SLAM-induced map
+    error from the keypoint detector's output (a texture scene has no
+    ground-truth landmark list)."""
+    out = outdir / "chap4-k9"
+    out.mkdir(parents=True, exist_ok=True)
+    import numpy as np
+
+    from monorfs_tpu.config import Config
+    from monorfs_tpu.frontend.dataset import RGBDDataset, convert_tum
+    from monorfs_tpu.frontend.kinect import KinectSource
+    from monorfs_tpu.io import World
+    from monorfs_tpu.metrics.errors import ospa
+    from monorfs_tpu.models.kinect_model import Params as KinectParams
+    from monorfs_tpu.models import get as get_model
+    from monorfs_tpu.sim import Simulation
+
+    fixture = ROOT / "assets" / "tum_real"
+    if not fixture.exists():
+        import make_real_fixture
+
+        make_real_fixture.render_sequence(fixture, frames=frames)
+    npz = str(out / "tum_real.npz")
+    convert_tum(str(fixture), npz, max_frames=frames)
+    true_x = np.load(fixture / "true_x.npy")[:frames]
+
+    h, w, focal = 120, 160, 200.0
+    cam = KinectParams(
+        focal=focal, film_left=-w / 2, film_top=-h / 2, film_width=w,
+        film_height=h, range_min=0.1, range_max=5.0, res_x=w, res_y=h,
+        border=1,
+    )
+    world = World(
+        pose=np.array([0, 0, 0, 1, 0, 0, 0.0]),
+        landmarks=np.zeros((0, 3)),
+        measurer_params=np.asarray(cam.to_linear()),
+    )
+    # scripted odometry = analytic per-frame camera step (movroom.in role)
+    dx = np.diff(true_x, prepend=true_x[0])
+    commands = [np.array([d, 0, 0, 0, 0, 0.0]) for d in dx]
+
+    def k9_cfg():
+        cfg = Config()
+        cfg.motion_covariance = np.diag([0.5, 0.5, 0.5, 0.02, 0.02, 0.02])
+        cfg.measurement_covariance = np.diag([2.0, 2.0, 1e-3])
+        cfg.navigator_clutter_density = 4e-7
+        return cfg
+
+    # reference map: true-pose back-projections, merged at 5 cm
+    import dataclasses
+
+    prm = get_model("PRM3D")
+    prm = dataclasses.replace(prm, params=dataclasses.replace(
+        prm.params, focal=focal, film_left=-w / 2, film_top=-h / 2,
+        film_width=float(w), film_height=float(h), range_min=0.1,
+        range_max=5.0,
+    ))
+    src0 = KinectSource(RGBDDataset(npz), camera=cam, delta=1,
+                        max_keypoints=128, threshold=40.0)
+    import jax.numpy as jnp
+
+    pts = []
+    for i in range(frames):
+        zs, _ = src0.measure(i)
+        if len(zs) == 0:
+            continue
+        pose = np.array([true_x[i], 0, 0, 1, 0, 0, 0.0])
+        bp = np.asarray(prm.to_map(
+            prm.params, jnp.asarray(pose)[None, :], jnp.asarray(zs[:, :3])
+        ))
+        pts.append(bp)
+    pts = np.concatenate(pts, axis=0) if pts else np.zeros((0, 3))
+    refmap = []
+    for pt in pts:
+        for q in refmap:
+            if np.linalg.norm(pt - q) < 0.05:
+                break
+        else:
+            refmap.append(pt)
+    refmap = np.asarray(refmap)
+
+    stats = {"reference_map_landmarks": int(len(refmap))}
+    for alg, extra in (("phd", {"particles": particles}),
+                       ("odometry", {}), ("isam2", {})):
+        src = KinectSource(RGBDDataset(npz), camera=cam, delta=1,
+                           max_keypoints=128, threshold=40.0)
+        sim = Simulation(k9_cfg(), world, commands, algorithm=alg,
+                         kinect_source=src, dtype=np.float64,
+                         **({"particles": particles} if alg == "phd" else {}))
+        sim.run()
+        sim.save(str(out / f"{alg}.zip"))
+        # estimate trajectory (best-particle genealogy): x vs analytic truth
+        traj = np.array([v for _, v in sim.estimate_history()[-1][1]])
+        est_x = traj[: len(true_x), 0] - traj[0, 0]
+        want = true_x - true_x[0]
+        n = min(len(est_x), len(want))
+        err = np.abs(est_x[:n] - want[:n])
+        row = {
+            "frames": int(n),
+            "ate_loc_rmse": float(np.sqrt(np.mean(err ** 2))),
+            "final_err_m": float(err[n - 1]),
+        }
+        mm = sim.way_maps[-1][1] if sim.way_maps else []
+        est_lm = np.asarray([m for _, m, _ in mm]) if mm else np.zeros((0,))
+        if est_lm.size and len(refmap):
+            row["ospa_vs_refmap"] = float(ospa(est_lm, refmap, c=0.3)[0])
+            row["landmarks"] = int(len(est_lm))
+        stats[alg] = row
+    return stats
+
+
 def chap4_s8(outdir, particles=100):
     """'Sandwich': solve the same recorded data with a chain of algorithms
     (chap4/S8-sandwich.sh:10-48: known-DA iSAM2 -> odometry -> PHD ->
@@ -421,11 +633,16 @@ def chap4_s8(outdir, particles=100):
 
 EXPERIMENTS = {
     "chap3-s1": chap3_s1,
+    "chap3-s2": chap3_s2,
+    "chap3-s3": chap3_s3,
     "chap3-s4": chap3_s4,
+    "chap3-s5": chap3_s5,
     "chap3-k6": chap3_k6,
     "chap3-k6real": chap3_k6real,
     "chap4-s1": chap4_s1,
+    "chap4-s7": chap4_s7,
     "chap4-s8": chap4_s8,
+    "chap4-k9": chap4_k9,
     "chap5-s1": chap5_s1,
     "chap5-s2": chap5_s2,
     "chap5-k3": chap5_k3,

@@ -94,13 +94,14 @@ class Config:
     gradient_clip: float = 10.0
     # offline smoother schedule: 1 sequential-refit pass + (loopy_sweeps-1)
     # Jacobi BP sweeps (the reference drives sweeps off its command-file
-    # tick budget, LoopyPHDNavigator.cs:367-377). Default 3 = the measured
-    # convergence plateau of the refit-first schedule: per-sweep probes on
-    # every chap5 record (tools/smoother_lab.py --ospa-each, round 4) show
-    # the refit state already at the quality plateau, later Jacobi sweeps
-    # moving ATE by <= 0.02 while costing up to 0.1 final OSPA, and the
-    # joint-objective selector only switching away from the refit state
-    # from sweep ~4 on -- so the budget is the effective selector
+    # tick budget, LoopyPHDNavigator.cs:367-377). Round-5 schedule: sweep 2
+    # fits map messages once, later sweeps run with FROZEN map factors
+    # (LoopyConfig.freeze_map_after, pure Gaussian BP on the chain) -- the
+    # per-sweep probes (tools/smoother_lab.py --ospa-each, rounds 4-5, both
+    # annealed and cold) show refitting map messages every sweep wanders
+    # around the refit state, costing 0.1+ final OSPA at <= 0.01 ATE gain,
+    # while frozen sweeps converge and the joint-objective selector then
+    # correctly keeps the best (usually refit) state
     loopy_sweeps: int = 3
 
     # ISAM2Navigator

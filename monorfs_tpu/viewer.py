@@ -221,9 +221,55 @@ def main(argv=None):
     ap.add_argument("--interactive", action="store_true",
                     help="timeline-scrub window (requires a display)")
     ap.add_argument("--fps", type=int, default=10)
+    ap.add_argument("--three-d", dest="three_d", action="store_true",
+                    default=None, help="force the 3D scene renderer "
+                    "(viewer3d); default: auto for 3D worlds")
+    ap.add_argument("--flat", dest="three_d", action="store_false",
+                    help="force the 2D top-down renderer")
+    ap.add_argument("--tag-shots", default=None,
+                    help="screenshot-tag batch mode: render one frame per "
+                    "tag into this directory (Viewer.cs:214)")
     args = ap.parse_args(argv)
 
     rec = Recording.load(args.file)
+    is3d = args.three_d
+    if is3d is None:
+        is3d = rec.trajectory and len(rec.trajectory[0][1]) >= 7
+    if is3d:
+        from . import viewer3d
+
+        if args.tag_shots:
+            outs = viewer3d.render_tagged_3d(rec, args.tag_shots)
+            print(f"{len(outs)} tag screenshots in {args.tag_shots}")
+            return 0
+        if args.interactive:
+            viewer3d.interactive_3d(rec)
+            return 0
+        if args.frames:
+            outs = viewer3d.render_frames_3d(rec, args.frames, args.stride)
+            print(f"{len(outs)} 3D frames rendered to {args.frames}")
+            return 0
+        if not (args.tag or args.sidebar or args.avi):
+            out = args.output or (args.file + ".3d.png")
+            viewer3d.render_3d(rec, out, frame=args.frame)
+            print(f"3D overview rendered to {out}")
+            return 0
+    if args.tag_shots:
+        import os
+
+        os.makedirs(args.tag_shots, exist_ok=True)
+        times = [t for t, _ in rec.maps]
+        import numpy as _np
+
+        outs = []
+        for t, msg in rec.tags:
+            fi = int(_np.searchsorted(times, t)) if times else 0
+            fi = min(fi, max(len(times) - 1, 0))
+            out = f"{args.tag_shots}/tag_{t:08.3f}.png"
+            render_overview(rec, out, frame=fi)
+            outs.append(out)
+        print(f"{len(outs)} tag screenshots in {args.tag_shots}")
+        return 0
     if args.tag:
         t, msg = args.tag.split(":", 1)
         add_tag(rec, float(t), msg)
