@@ -94,15 +94,18 @@ class Config:
     gradient_clip: float = 10.0
     # offline smoother schedule: 1 sequential-refit pass + (loopy_sweeps-1)
     # Jacobi BP sweeps (the reference drives sweeps off its command-file
-    # tick budget, LoopyPHDNavigator.cs:367-377). Round-5 schedule: sweep 2
-    # fits map messages once, later sweeps run with FROZEN map factors
-    # (LoopyConfig.freeze_map_after, pure Gaussian BP on the chain) -- the
-    # per-sweep probes (tools/smoother_lab.py --ospa-each, rounds 4-5, both
-    # annealed and cold) show refitting map messages every sweep wanders
-    # around the refit state, costing 0.1+ final OSPA at <= 0.01 ATE gain,
-    # while frozen sweeps converge and the joint-objective selector then
-    # correctly keeps the best (usually refit) state
-    loopy_sweeps: int = 3
+    # tick budget, LoopyPHDNavigator.cs:367-377). DEFAULT 1 = refit only,
+    # a measured decision (tools/smoother_lab.py --ospa-each, rounds 4-5):
+    # across every chap5 record, both dtypes, annealed AND cold schedules,
+    # AND with map factors frozen after their first fit, no BP sweep after
+    # the sequential refit ever improved ATE by more than 0.01 while final
+    # OSPA degraded by 0.05-0.15 -- and the joint-likelihood selector
+    # prefers those degraded states in float32 (the likelihood has
+    # noise-fit maxima; 'best of run' by internal score was measured worse
+    # than 'refit' three separate times). Raising loopy_sweeps restores the
+    # reference-style BP refinement (cold by default, freeze_map_after=2);
+    # anneal_t0 brings back the reference's 5/(sweep+1) schedule.
+    loopy_sweeps: int = 1
 
     # ISAM2Navigator
     match_threshold: float = 3.0

@@ -128,7 +128,11 @@ def _first_true_idx(mask, axis, size):
     return jnp.min(jnp.where(mask, iota, size), axis=axis)
 
 
-def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
+def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds,
+                 stop_after=None):
+    """stop_after: debug knob for vmem bisection -- truncate the kernel
+    after a named phase ('scores' | 'cut' | 'compact'), writing zeros to
+    the remaining outputs."""
     kp = k0 + m
     measure_s = model.measure_soa
     jac_s = model.jac_landmark_soa
@@ -143,17 +147,26 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
         cor_refs = refs[22:32]
 
         prm = _unpack_params(params_ref, d)
-        pose = pose_ref[:]  # [bp, S]
-        bp = pose.shape[0]
+        n_bp = pose_ref.shape[0]
         f32 = jnp.float32
 
-        mean0 = [maps_refs[i][:] for i in range(3)]  # 3 x [bp, K0]
-        cov0 = tuple(maps_refs[3 + i][:] for i in range(6))
-        logw0 = maps_refs[9][:]
         zl = [zt_ref[i : i + 1, :] for i in range(d)]  # d x [1, M]
         z_livef = zmask_ref[:]  # [1, M] f32 (Mosaic cannot insert a minor
         # dim on i1 vectors, so bool masks stay f32 until after reshapes)
         z_live = z_livef > 0.5
+
+        ip = 0
+        pose = pose_ref[:]
+        mean0 = [maps_refs[i][:] for i in range(3)]
+        cov0 = tuple(maps_refs[3 + i][:] for i in range(6))
+        logw0 = maps_refs[9][:]
+        _particle_body(
+            ip, pose, n_bp, mean0, cov0, logw0, zl, z_live, z_livef,
+            prm, pred_refs, cor_refs, f32,
+        )
+
+    def _particle_body(ip, pose, bp, mean0, cov0, logw0, zl, z_live,
+                       z_livef, prm, pred_refs, cor_refs, f32):
 
         # ---- births (PredictConditional, :793-819) -------------------------
         # back-projections double as the gating anchors of the pair stage
@@ -196,10 +209,10 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
         logw = jnp.concatenate([logw0, birth_logw.astype(f32)], axis=-1)
 
         for i in range(3):
-            pred_refs[i][:] = mean[i]
+            pred_refs[i][pl.ds(ip, bp), :] = mean[i]
         for i in range(6):
-            pred_refs[3 + i][:] = cov6[i]
-        pred_refs[9][:] = logw
+            pred_refs[3 + i][pl.ds(ip, bp), :] = cov6[i]
+        pred_refs[9][pl.ds(ip, bp), :] = logw
 
         # ---- EKF precompute (CorrectConditional, :857-870) -----------------
         alive = logw > ALIVE_THRESHOLD
@@ -278,6 +291,12 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
             jnp.where(jnp.isfinite(c), c, 0.0) for c in cov_upd
         )
 
+
+        if stop_after == "scores":
+            zz = jnp.zeros_like(logw0) * 0.0 + (jnp.sum(jnp.sum(jnp.where(jnp.isfinite(upd_logw), upd_logw, 0.0), axis=2), axis=1, keepdims=True) + jnp.sum(miss_logw * 0.0, axis=-1, keepdims=True))
+            for _i in range(10):
+                cor_refs[_i][pl.ds(ip, bp), :] = zz
+            return 0
         # ---- MaxQuantity cut: bisect the K-th largest weight (:921-929) ----
         # per-particle scalars stay [bp, 1]: Mosaic cannot reshape 1D
         # vectors into higher rank
@@ -306,18 +325,31 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
         # keep-all when the cap does not bind (count(> lo) <= K_out)
         all_fit = count_above(lo) <= float(k_out)
 
-        # unrolled: Mosaic fails to legalize scf.for with vector carries
-        lo_b, hi_b = lo, hi
-        for _ in range(_BISECT):
+        # fori_loop keeps each iteration's intermediates off the Mosaic
+        # scoped-vmem stack (30 unrolled iterations measured 40 MB of stack
+        # at TINY shapes); the tiny f32 [bp, 1] carry legalizes fine --
+        # it was the merge loop's [bp, K, K] bool carry that did not
+        def bis(_, lohi):
+            lo_b, hi_b = lohi
             mid = 0.5 * (lo_b + hi_b)
             over = count_above(mid) > float(k_out)
-            lo_b = jnp.where(over, mid, lo_b)
-            hi_b = jnp.where(over, hi_b, mid)
+            return (
+                jnp.where(over, mid, lo_b),
+                jnp.where(over, hi_b, mid),
+            )
+
+        _, hi_b = jax.lax.fori_loop(0, _BISECT, bis, (lo, hi))
         tau = jnp.where(all_fit, lo, hi_b)  # [bp, 1]
 
         keep_miss = cand_miss > tau  # [bp, KP]
         keep_pair = cand_pair > tau[:, :, None]  # [bp, M, KP]
 
+
+        if stop_after == "cut":
+            zz = jnp.zeros_like(logw0) * 0.0 + (jnp.sum(tau) + jnp.sum(jnp.sum(keep_pair.astype(f32), axis=2), axis=1, keepdims=True))
+            for _i in range(10):
+                cor_refs[_i][pl.ds(ip, bp), :] = zz
+            return 0
         # ---- compaction ----------------------------------------------------
         t_kp = _tri_lower_strict(kp, f32)
         rank_miss = jax.lax.dot(
@@ -332,19 +364,25 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
             rowcount, t_m, preferred_element_type=f32
         )  # [bp, M]
 
-        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (bp, k_out, kp), 1)
-        oh_miss = (
-            keep_miss[:, None, :]
-            & (rank_miss[:, None, :].astype(jnp.int32) == slot_iota)
-        ).astype(f32)  # [bp, K_out, KP]
+        # Everything below is CHANNEL-MAJOR: features stack on the sublane
+        # axis ([bp, C, .]) and one-hots are built directly in the
+        # orientation each matmul needs. Lane-axis channel stacks/slices
+        # ([., C] minor) each force a Mosaic relayout; the lane-minor form
+        # of this section measured ~150 MB of compile-time vmem at half
+        # the bench shape.
+        slot_iota_t = jax.lax.broadcasted_iota(jnp.int32, (bp, kp, k_out), 2)
+        oh_miss_t = (
+            (keep_miss.astype(f32)[:, :, None] > 0.5)
+            & (rank_miss[:, :, None].astype(jnp.int32) == slot_iota_t)
+        ).astype(f32)  # [bp, KP, K_out]
 
         # miss features: mean (3), cov (6), logw
         miss_ch = list(mean) + list(cov6) + [miss_logw]
         miss_ch = [
             jnp.where(keep_miss & jnp.isfinite(c), c, 0.0) for c in miss_ch
         ]
-        miss_feat = jnp.stack(miss_ch, axis=-1)  # [bp, KP, 10]
-        cor = _pdot(oh_miss, miss_feat)  # [bp, K_out, 10]
+        miss_feat_t = jnp.stack(miss_ch, axis=1)  # [bp, 10, KP]
+        cor_t = _pdot(miss_feat_t, oh_miss_t)  # [bp, 10, K_out]
 
         # pair survivors: per-row argmax extraction (up to gate_top rows)
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (bp, m, kp), 2)
@@ -352,7 +390,7 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
         pair_cov_b = [c[:, None, :] for c in cov_upd]  # [bp, 1, KP]
         oh_blocks = []
         feat_blocks = []
-        s_iota_m = jax.lax.broadcasted_iota(jnp.int32, (bp, k_out, m), 1)
+        s_iota_m = jax.lax.broadcasted_iota(jnp.int32, (bp, m, k_out), 2)
         for g in range(gate_top):
             mx = jnp.max(work, axis=-1)  # [bp, M]
             idx = _first_true_idx(work == mx[:, :, None], 2, kp)
@@ -368,30 +406,38 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
                 + [rd(c) for c in pair_cov_b]
                 + [jnp.where(jnp.isfinite(mx), mx, 0.0)]
             )
-            feat_blocks.append(jnp.stack(chs, axis=-1))  # [bp, M, 10]
+            feat_blocks.append(jnp.stack(chs, axis=1))  # [bp, 10, M]
 
-            valid = (float(g) < rowcount) & jnp.isfinite(mx)  # [bp, M]
+            validf = (
+                ((float(g) < rowcount) & jnp.isfinite(mx))
+            ).astype(f32)  # [bp, M]
             slot = n_miss + row_off + float(g)  # [bp, M]
             oh_blocks.append(
                 (
-                    valid[:, None, :]
-                    & (slot[:, None, :].astype(jnp.int32) == s_iota_m)
+                    (validf[:, :, None] > 0.5)
+                    & (slot[:, :, None].astype(jnp.int32) == s_iota_m)
                 ).astype(f32)
-            )  # [bp, K_out, M]
+            )  # [bp, M, K_out]
             work = jnp.where(hit, -jnp.inf, work)
 
-        oh_pair = jnp.concatenate(oh_blocks, axis=-1)  # [bp, K_out, G*M]
-        pair_feat = jnp.concatenate(feat_blocks, axis=1)  # [bp, G*M, 10]
-        cor = cor + _pdot(oh_pair, pair_feat)
+        oh_pair_t = jnp.concatenate(oh_blocks, axis=1)  # [bp, G*M, K_out]
+        pair_feat_t = jnp.concatenate(feat_blocks, axis=-1)  # [bp, 10, G*M]
+        cor_t = cor_t + _pdot(pair_feat_t, oh_pair_t)
 
         filled = (
-            jnp.sum(oh_miss, axis=-1) + jnp.sum(oh_pair, axis=-1)
+            jnp.sum(oh_miss_t, axis=1) + jnp.sum(oh_pair_t, axis=1)
         ) > 0.5  # [bp, K_out]
-        mean_s = [cor[..., i] for i in range(3)]
-        cov_s = tuple(cor[..., 3 + i] for i in range(6))
-        top_logw = jnp.where(filled, cor[..., 9], DEAD)
+        mean_s = [cor_t[:, i, :] for i in range(3)]
+        cov_s = tuple(cor_t[:, 3 + i, :] for i in range(6))
+        top_logw = jnp.where(filled, cor_t[:, 9, :], DEAD)
         live = filled
 
+
+        if stop_after == "compact":
+            zz = jnp.zeros_like(logw0) * 0.0 + (jnp.sum(jnp.sum(cor_t, axis=2), axis=1, keepdims=True) + jnp.zeros_like(logw0))
+            for _i in range(10):
+                cor_refs[_i][pl.ds(ip, bp), :] = zz
+            return 0
         # ---- greedy weight-ordered merge (:930-948) ------------------------
         covm = smallmat.sym_to_mat(cov_s)
         det_c = smallmat.det(covm)
@@ -403,6 +449,12 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
         m2 = smallmat.quadform(diff, inv_b)
         close = m2 < prm["merge_thr"] * prm["merge_thr"]
 
+
+        if stop_after == "m2":
+            zz = jnp.zeros_like(logw0) * 0.0 + (jnp.sum(jnp.sum(jnp.where(jnp.isfinite(m2), m2, 0.0), axis=2), axis=1, keepdims=True) + jnp.zeros_like(logw0))
+            for _i in range(10):
+                cor_refs[_i][pl.ds(ip, bp), :] = zz
+            return 0
         w = jnp.where(live, jnp.exp(top_logw), 0.0)
         i_iota = jax.lax.broadcasted_iota(jnp.int32, (bp, k_out, k_out), 1)
         k_iota2 = jax.lax.broadcasted_iota(jnp.int32, (bp, k_out, k_out), 2)
@@ -432,15 +484,27 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
         )
         leader = jnp.where(has, lead_idx, member_iota)
 
+
+        if stop_after == "leader":
+            zz = jnp.zeros_like(logw0) * 0.0 + (jnp.sum(leader.astype(f32), axis=-1, keepdims=True) + jnp.zeros_like(logw0))
+            for _i in range(10):
+                cor_refs[_i][pl.ds(ip, bp), :] = zz
+            return 0
+        # both orientations built directly from comparisons (no transpose
+        # op): assign [bp, leader i, member k], assign_t [bp, k, i]
         assign = (
             (leader[:, None, :] == i_iota) & live[:, None, :]
-        ).astype(f32)  # [bp, leader, member]
+        ).astype(f32)
+        assign_t = (
+            (leader[:, :, None] == k_iota2) & (live_f[:, :, None] > 0.5)
+        ).astype(f32)
 
-        mean_feat = jnp.stack(mean_s, axis=-1)  # [bp, K_out, 3]
-        assign_t = jnp.swapaxes(assign, -1, -2)
-        leader_mean = _pdot(assign_t, mean_feat)  # member -> leader mean
-        dvec = mean_feat - leader_mean
-        dv = [dvec[..., a] for a in range(3)]
+        mean_feat_t = jnp.stack(mean_s, axis=1)  # [bp, 3, K_out(member)]
+        # member k's leader mean: sum_i mean[c, i] * assign[i, k]
+        leader_mean_t = _pdot(mean_feat_t, assign)  # [bp, 3, K_out]
+        dv = [
+            mean_feat_t[:, a, :] - leader_mean_t[:, a, :] for a in range(3)
+        ]
         pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
         chans = (
             [w]
@@ -448,17 +512,26 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
             + [w * dv[a] * dv[b] for a, b in pairs]
             + [w * cov_s[i] for i in range(6)]
         )
-        pooled = _pdot(assign, jnp.stack(chans, axis=-1))  # [bp, K_out, 16]
-        wsum_l = pooled[..., 0]
+        # pooled[c, leader i] = sum_k chan[c, k] * assign_t[k, i]
+        pooled_t = _pdot(
+            jnp.stack(chans, axis=1), assign_t
+        )  # [bp, 16, K_out]
+
+        if stop_after == "pool":
+            zz = jnp.zeros_like(logw0) * 0.0 + (jnp.sum(jnp.sum(pooled_t, axis=2), axis=1, keepdims=True) + jnp.zeros_like(logw0))
+            for _i in range(10):
+                cor_refs[_i][pl.ds(ip, bp), :] = zz
+            return 0
+        wsum_l = pooled_t[:, 0, :]
         safe = jnp.maximum(wsum_l, 1e-30)
-        delta_m = [pooled[..., 1 + a] / safe for a in range(3)]
+        delta_m = [pooled_t[:, 1 + a, :] / safe for a in range(3)]
         mean_m = [mi + dm for mi, dm in zip(mean_s, delta_m)]
         spread = tuple(
-            pooled[..., 4 + i] / safe - delta_m[a] * delta_m[b]
+            pooled_t[:, 4 + i, :] / safe - delta_m[a] * delta_m[b]
             for i, (a, b) in enumerate(pairs)
         )
         cov_m = tuple(
-            pooled[..., 10 + i] / safe + spread[i] for i in range(6)
+            pooled_t[:, 10 + i, :] / safe + spread[i] for i in range(6)
         )
 
         out_alive = is_leader & (wsum_l > 0)
@@ -467,20 +540,25 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds):
         one = jnp.ones_like(out_logw)
         eye6 = (one, zero, zero, one, zero, one)
         for i in range(3):
-            cor_refs[i][:] = jnp.where(out_alive, mean_m[i], zero)
+            cor_refs[i][pl.ds(ip, bp), :] = jnp.where(
+                out_alive, mean_m[i], zero
+            )
         for i in range(6):
-            cor_refs[3 + i][:] = jnp.where(out_alive, cov_m[i], eye6[i])
-        cor_refs[9][:] = out_logw
+            cor_refs[3 + i][pl.ds(ip, bp), :] = jnp.where(
+                out_alive, cov_m[i], eye6[i]
+            )
+        cor_refs[9][pl.ds(ip, bp), :] = out_logw
+        return 0
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "cfg", "interpret", "bp"),
+    static_argnames=("model", "cfg", "interpret", "bp", "stop_after"),
 )
 def fused_stage(model, cfg, params, pose, maps: SGM, z, z_mask,
-                interpret=None, bp=_BP):
+                interpret=None, bp=_BP, stop_after=None):
     """Births + correct + prune for ALL particles in one pallas_call.
 
     pose [P, S]; maps leaves [P, K0]; z [M, D]; z_mask [M].
@@ -518,7 +596,8 @@ def fused_stage(model, cfg, params, pose, maps: SGM, z, z_mask,
     zm = z_mask.astype(f32)[None, :]  # [1, M]
 
     kernel = _make_kernel(
-        model, k0, m, k_out, d, cfg.gate_top, cfg.merge_rounds
+        model, k0, m, k_out, d, cfg.gate_top, cfg.merge_rounds,
+        stop_after=stop_after,
     )
     grid = (pp // bp,)
     bspec = lambda shape: pl.BlockSpec(
@@ -545,6 +624,11 @@ def fused_stage(model, cfg, params, pose, maps: SGM, z, z_mask,
         out_shape=tuple(
             [jax.ShapeDtypeStruct((pp, kp), f32) for _ in range(10)]
             + [jax.ShapeDtypeStruct((pp, k_out), f32) for _ in range(10)]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # v5e cores carry far more VMEM than the 16 MB default scoped
+            # limit; the straight-line kernel body's stack peaks above it
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(pvec, pose_p, *leaves, zt, zm)

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--t0", type=float, default=None,
                     help="annealing start temperature (default: 0 with "
                     "refit, 5 without — see loopynav)")
+    ap.add_argument("--ga-iters", type=int, default=None)
+    ap.add_argument("--ga-steps", type=int, default=None)
+    ap.add_argument("--refit-seeds", type=int, default=None)
+    ap.add_argument("--refit-gate", type=float, default=None)
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--ospa-each", action="store_true",
                     help="also filter + report the map OSPA after every "
@@ -88,6 +92,10 @@ def main():
         lkw["blocks"] = args.blocks
     if args.mix_cap is not None:
         lkw["mix_cap"] = args.mix_cap
+    for k in ("ga_iters", "ga_steps", "refit_seeds", "refit_gate"):
+        v = getattr(args, k)
+        if v is not None:
+            lkw[k] = v
     lcfg = loopy.LoopyConfig(max_nodes=t, max_meas=max_meas, **lkw)
 
     nav = LoopyPHDNavigator(
