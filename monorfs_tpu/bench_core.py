@@ -29,7 +29,7 @@ class ScanCarry(NamedTuple):
 
 def build_scan_runner(cfg: Config, world: World, particles: int,
                       phd_cfg=None, dtype=jnp.float32, slam=True,
-                      max_clutter=8):
+                      max_clutter=8, seed=0, pallas_correct=None):
     """Return (runner, init_carry, commands_array). runner(carry, commands)
     scans the full frame pipeline and returns (carry, per-frame outputs)."""
     model = model_for_config(cfg, world)
@@ -53,7 +53,8 @@ def build_scan_runner(cfg: Config, world: World, particles: int,
         perfect_still=jnp.asarray(cfg.perfect_still, bool),
     )
     nparams = cfg.phd_params(dtype)
-    step = phd.make_slam_step(model, pcfg, slam=slam)
+    step = phd.make_slam_step(model, pcfg, slam=slam,
+                              pallas_correct=pallas_correct)
 
     lm = np.zeros((lmax, 3), dtype)
     lm[: len(world.landmarks)] = world.landmarks
@@ -89,12 +90,13 @@ def build_scan_runner(cfg: Config, world: World, particles: int,
     def runner(carry, commands):
         return jax.lax.scan(frame, carry, commands)
 
-    init = ScanCarry(vstate, nstate, jax.random.PRNGKey(0))
+    init = ScanCarry(vstate, nstate, jax.random.PRNGKey(seed))
     return runner, init, model
 
 
 def run_benchmark(world_file, command_file, particles=200, frames=None,
-                  dtype=jnp.float32, cfg=None, phd_cfg=None):
+                  dtype=jnp.float32, cfg=None, phd_cfg=None, seed=0,
+                  pallas_correct=None):
     """Compile, warm up, and time the scan; returns a dict of results.
 
     The warmup runs the full-length scan once (same shape as the timed run)
@@ -112,7 +114,8 @@ def run_benchmark(world_file, command_file, particles=200, frames=None,
     cmds = jnp.asarray(cmds, dtype)
 
     runner, carry, model = build_scan_runner(
-        cfg, world, particles, phd_cfg=phd_cfg, dtype=dtype
+        cfg, world, particles, phd_cfg=phd_cfg, dtype=dtype, seed=seed,
+        pallas_correct=pallas_correct,
     )
 
     # chunk the scan so the compiled program length is fixed (one compile,

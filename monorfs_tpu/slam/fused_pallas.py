@@ -114,9 +114,18 @@ def _tri_lower_strict(n, dtype):
 
 def _pdot(a, b):
     """Per-particle 2D matmuls over the leading bp axis (unrolled; Mosaic
-    prefers plain 2D dots)."""
+    prefers plain 2D dots).
+
+    Precision.HIGHEST is load-bearing: these dots are one-hot gathers and
+    pooled moment sums, and the default f32 matmul may run as bf16 MXU
+    passes -- the ~3e-3 relative truncation of gathered means flipped
+    merge decisions and tripled the bench ATE (same guard as the XLA
+    path's _exact_dot, slam/phd.py)."""
     outs = [
-        jax.lax.dot(a[i], b[i], preferred_element_type=jnp.float32)
+        jax.lax.dot(
+            a[i], b[i], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         for i in range(a.shape[0])
     ]
     return jnp.stack(outs, axis=0)
@@ -353,7 +362,8 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds,
         # ---- compaction ----------------------------------------------------
         t_kp = _tri_lower_strict(kp, f32)
         rank_miss = jax.lax.dot(
-            keep_miss.astype(f32), t_kp, preferred_element_type=f32
+            keep_miss.astype(f32), t_kp, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # exclusive prefix count over the lane axis
         n_miss = jnp.sum(keep_miss.astype(f32), axis=-1, keepdims=True)  # [bp, 1]
 
@@ -361,7 +371,8 @@ def _make_kernel(model, k0, m, k_out, d, gate_top, merge_rounds,
         rowcount = jnp.minimum(cnt_row, float(gate_top))
         t_m = _tri_lower_strict(m, f32)
         row_off = jax.lax.dot(
-            rowcount, t_m, preferred_element_type=f32
+            rowcount, t_m, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [bp, M]
 
         # Everything below is CHANNEL-MAJOR: features stack on the sublane
