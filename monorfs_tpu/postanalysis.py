@@ -36,17 +36,34 @@ def visited_landmarks(rec):
     return out
 
 
+def best_map_points(ws, means):
+    """The reference's BestMapEstimate (Map.cs:119-142): pick
+    floor(sum w) components greedily by weight, re-inserting each pick
+    with weight - 1 -- so a weight-2 component (two merged landmarks)
+    appears twice in the estimate."""
+    ws = list(np.asarray(ws, float))
+    means = list(means)
+    n = int(np.floor(sum(ws)))
+    out = []
+    for _ in range(max(n, 0)):
+        i = int(np.argmax(ws))
+        out.append(means[i])
+        ws.append(ws[i] - 1.0)
+        means.append(means[i])
+        ws[i] = -np.inf
+    return np.array(out).reshape(-1, 3) if out else np.zeros((0, 3))
+
+
 def map_estimates(rec):
-    """MAP (best) map estimate per frame: top floor(sum w) components."""
+    """MAP (best) map estimate per frame (BestMapEstimate semantics)."""
     out = []
     for t, comps in rec.maps:
         if not comps:
             out.append((t, np.zeros((0, 3))))
             continue
-        ws = np.array([w for w, _, _ in comps])
-        n = int(np.floor(ws.sum()))
-        order = np.argsort(-ws)[:n]
-        out.append((t, np.array([comps[i][1] for i in order]).reshape(-1, 3)))
+        ws = [w for w, _, _ in comps]
+        means = [m for _, m, _ in comps]
+        out.append((t, best_map_points(ws, means)))
     return out
 
 
