@@ -64,7 +64,7 @@ def _single_process_reference():
     )
 
 
-def test_two_process_run_matches_single_process():
+def _run_two_process(case):
     port = _free_port()
     n_proc, local_devices = 2, 4
     env_base = {
@@ -76,13 +76,13 @@ def test_two_process_run_matches_single_process():
         procs.append(subprocess.Popen(
             [sys.executable, str(HERE / "multihost_runner.py"),
              str(pid), str(n_proc), f"localhost:{port}",
-             str(local_devices)],
+             str(local_devices), case],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env_base, cwd=str(HERE.parent),
         ))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=420)
+        out, err = p.communicate(timeout=600)
         assert p.returncode == 0, (out, err[-3000:])
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
@@ -91,8 +91,25 @@ def test_two_process_run_matches_single_process():
     for key in ("pose_sum", "logw_sum", "map_mass"):
         np.testing.assert_allclose(outs[0][key], outs[1][key], rtol=1e-12,
                                    err_msg=key)
+    return outs
 
+
+def test_two_process_run_matches_single_process():
+    outs = _run_two_process("linear2d")
     ref = _single_process_reference()
     np.testing.assert_allclose(outs[0]["pose_sum"], ref[0], rtol=1e-9)
     np.testing.assert_allclose(outs[0]["logw_sum"], ref[1], rtol=1e-9)
     np.testing.assert_allclose(outs[0]["map_mass"], ref[2], rtol=1e-9)
+
+
+def test_two_process_prm3d_bench_shapes():
+    """The DEPLOYMENT configuration (3D pixel-range, 200 particles, K=128,
+    float32) under jax.distributed: 2 processes x 4 devices, 3 full SLAM
+    steps, finite replicated checksums agreeing across processes."""
+    outs = _run_two_process("prm3d")
+    assert outs[0]["case"] == "prm3d"
+    for key in ("pose_sum", "logw_sum", "map_mass"):
+        assert np.isfinite(outs[0][key]), outs[0]
+    # 200 particles with quaternion w ~= 1 each: pose_sum is O(200)
+    assert 50.0 < outs[0]["pose_sum"] < 1000.0, outs[0]
+    assert outs[0]["map_mass"] > 0.5, outs[0]
