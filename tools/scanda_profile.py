@@ -27,6 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--variant", default="default")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -67,7 +68,7 @@ def main():
     ]:
         runner, carry, model = build_mahalanobis_scan(
             cfg, world, frames=args.frames, dtype=jnp.float32,
-            max_clutter=max_clutter, **kw,
+            max_clutter=max_clutter, seed=args.seed, **kw,
         )
         t0 = time.perf_counter()
         out_carry, (tp, ep, nlm) = runner(carry, cmds)
