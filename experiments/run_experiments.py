@@ -526,12 +526,26 @@ def chap4_k9(outdir, particles=50, frames=24):
         measurer_params=np.asarray(cam.to_linear()),
     )
     # scripted odometry = analytic per-frame camera step (movroom.in role)
+    # plus seeded drift: exact odometry would make dead reckoning perfect
+    # and the comparison vacuous (the reference's movroom.in is a human's
+    # imperfect motion log)
+    rng0 = np.random.default_rng(100 + SEED)
     dx = np.diff(true_x, prepend=true_x[0])
-    commands = [np.array([d, 0, 0, 0, 0, 0.0]) for d in dx]
+    commands = [
+        np.array([d, 0, 0, 0, 0, 0.0])
+        + rng0.normal(0, 1, 6) * np.array([2e-3, 2e-3, 2e-3, 1e-4, 1e-4,
+                                           1e-4])
+        for d in dx
+    ]
 
     def k9_cfg():
         cfg = Config()
-        cfg.motion_covariance = np.diag([0.5, 0.5, 0.5, 0.02, 0.02, 0.02])
+        # motion noise sized to the scripted odometry drift (2e-3/frame
+        # std with dt=1/30: diag 0.01 -> per-frame std ~3e-3); a 0.5 diag
+        # made the particle cloud 10x wider than the actual drift and the
+        # filter tracked worse than dead reckoning
+        cfg.motion_covariance = np.diag([0.01, 0.01, 0.01, 1e-3, 1e-3,
+                                         1e-3])
         cfg.measurement_covariance = np.diag([2.0, 2.0, 1e-3])
         cfg.navigator_clutter_density = 4e-7
         return cfg

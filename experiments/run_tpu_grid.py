@@ -109,12 +109,22 @@ def throughput(outdir):
             beam_candidates=6,
             merge_rounds=4,
         )
+        # the grid enables x64 process-wide for the isam2 host solver,
+        # which would auto-disable both Pallas kernels; the throughput
+        # rows must measure the DEPLOYMENT path, so force them on
+        import jax as _jax
+        # x64 (needed by the isam2 host solver in mixed grids) breaks
+        # Pallas lowering; kernels engage only in the pure-f32 process
+        on_tpu = (_jax.default_backend() == "tpu"
+                  and not _jax.config.jax_enable_x64)
         r = run_benchmark(
             ROOT / "assets" / "sim3d.world",
             ROOT / "assets" / "mov3d.in",
             particles=p,
             frames=300,
             dtype=jnp.float32,
+            pallas_correct=on_tpu or None,
+            pallas_beam=on_tpu or None,
             cfg=cfg,
             phd_cfg=pcfg,
         )
@@ -158,7 +168,10 @@ def main():
     # without x64, jnp silently truncates those arrays to f32 (observed:
     # the whole round-3 chap4 f32 duplication cascade). The phd driver
     # stays f32 -- every array it builds carries an explicit dtype.
-    jax.config.update("jax_enable_x64", True)
+    if args.experiment != "throughput":
+        # throughput measures the DEPLOYMENT (pure-f32 + Pallas) path;
+        # x64 is only needed by the isam2 host solver in the other rows
+        jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     backend = check_backend()

@@ -22,7 +22,7 @@ def main(outdir=None):
             rows.append((
                 exp, alg,
                 s.get("ate_loc_rmse"), s.get("ate_rot_rmse"),
-                s.get("final_ospa"), s.get("elapsed_s"),
+                s.get("final_ospa", s.get("ospa_vs_refmap")), s.get("elapsed_s"),
                 s.get("frames"), s.get("mean_measurements"),
                 s.get("fps"), s.get("step_ms"), s.get("ate_rmse_loc"),
             ))

@@ -29,7 +29,8 @@ class ScanCarry(NamedTuple):
 
 def build_scan_runner(cfg: Config, world: World, particles: int,
                       phd_cfg=None, dtype=jnp.float32, slam=True,
-                      max_clutter=8, seed=0, pallas_correct=None):
+                      max_clutter=8, seed=0, pallas_correct=None,
+                      pallas_beam=None):
     """Return (runner, init_carry, commands_array). runner(carry, commands)
     scans the full frame pipeline and returns (carry, per-frame outputs)."""
     model = model_for_config(cfg, world)
@@ -54,7 +55,8 @@ def build_scan_runner(cfg: Config, world: World, particles: int,
     )
     nparams = cfg.phd_params(dtype)
     step = phd.make_slam_step(model, pcfg, slam=slam,
-                              pallas_correct=pallas_correct)
+                              pallas_correct=pallas_correct,
+                              pallas_beam=pallas_beam)
 
     lm = np.zeros((lmax, 3), dtype)
     lm[: len(world.landmarks)] = world.landmarks
@@ -96,7 +98,7 @@ def build_scan_runner(cfg: Config, world: World, particles: int,
 
 def run_benchmark(world_file, command_file, particles=200, frames=None,
                   dtype=jnp.float32, cfg=None, phd_cfg=None, seed=0,
-                  pallas_correct=None):
+                  pallas_correct=None, pallas_beam=None):
     """Compile, warm up, and time the scan; returns a dict of results.
 
     The warmup runs the full-length scan once (same shape as the timed run)
@@ -115,7 +117,7 @@ def run_benchmark(world_file, command_file, particles=200, frames=None,
 
     runner, carry, model = build_scan_runner(
         cfg, world, particles, phd_cfg=phd_cfg, dtype=dtype, seed=seed,
-        pallas_correct=pallas_correct,
+        pallas_correct=pallas_correct, pallas_beam=pallas_beam,
     )
 
     # chunk the scan so the compiled program length is fixed (one compile,
