@@ -480,7 +480,8 @@ def chap3_k6real(outdir, frames=24):
     return stats
 
 
-def chap4_k9(outdir, particles=50, frames=24):
+def chap4_k9(outdir, particles=50, frames=24, dtype=None,
+             algs=("phd", "odometry", "isam2"), tag="chap4-k9"):
     """Real-sensor comparison (chap4/K9-realsensor.sh): PHD full SLAM vs
     odometry vs iSAM2 on one real-pixel RGB-D sequence (assets/tum_real;
     the zero-egress stand-in for room.oni -- see make_real_fixture.py).
@@ -492,9 +493,12 @@ def chap4_k9(outdir, particles=50, frames=24):
     build from these detections, so the metric isolates SLAM-induced map
     error from the keypoint detector's output (a texture scene has no
     ground-truth landmark list)."""
-    out = outdir / "chap4-k9"
+    out = outdir / tag
     out.mkdir(parents=True, exist_ok=True)
     import numpy as np
+
+    if dtype is None:
+        dtype = np.float64
 
     from monorfs_tpu.config import Config
     from monorfs_tpu.frontend.dataset import RGBDDataset, convert_tum
@@ -584,12 +588,11 @@ def chap4_k9(outdir, particles=50, frames=24):
     refmap = np.asarray(refmap)
 
     stats = {"reference_map_landmarks": int(len(refmap))}
-    for alg, extra in (("phd", {"particles": particles}),
-                       ("odometry", {}), ("isam2", {})):
+    for alg in algs:
         src = KinectSource(RGBDDataset(npz), camera=cam, delta=1,
                            max_keypoints=128, threshold=40.0)
         sim = Simulation(k9_cfg(), world, commands, algorithm=alg,
-                         kinect_source=src, dtype=np.float64,
+                         kinect_source=src, dtype=dtype,
                          **({"particles": particles} if alg == "phd" else {}))
         sim.run()
         sim.save(str(out / f"{alg}.zip"))
