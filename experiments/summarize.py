@@ -92,7 +92,7 @@ def main(outdir=None):
                 lines.append(
                     f"| {exp} | {alg} | {fmt(s.get('ate_loc_rmse'))} "
                     f"| {fmt(s.get('ate_rot_rmse'))} "
-                    f"| {fmt(s.get('final_ospa'))} "
+                    f"| {fmt(s.get('final_ospa', s.get('ospa_vs_refmap')))} "
                     f"| {fmt(s.get('elapsed_s'), 4)} |"
                 )
 
