@@ -205,9 +205,6 @@ def main(argv=None):
     ap.add_argument("-r", "--record", default=None)
     ap.add_argument("--fps", type=int, default=15)
     args = ap.parse_args(argv)
-
-    import jax
-
     from .config import Config
     from .io.world import World, parse_commands
     from .sim.simulation import Simulation

@@ -141,7 +141,10 @@ class LoopyPHDNavigator:
                 self.best_objective = obj
                 self.best_state = self.state
             return self
-        bp_sweeps = max(self.sweeps - self.lcfg.refit_passes, 0)
+        refit_done = (
+            self.lcfg.refit_passes if self._refit is not None else 0
+        )
+        bp_sweeps = max(self.sweeps - refit_done, 0)
         temperature = jnp.asarray(
             self.anneal_t0 / (bp_sweeps + 1), self.dtype
         )
