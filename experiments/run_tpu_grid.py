@@ -108,6 +108,9 @@ def throughput(outdir):
             beam_meas_cap=24,
             beam_candidates=6,
             merge_rounds=4,
+            meas_compact=40,  # live-first compaction at the world's
+            # visibility bound (40 landmarks; 24 truncated crowded frames
+            # and cost ATE 0.020 -> 0.035 at 200 particles)
         )
         # the grid enables x64 process-wide for the isam2 host solver,
         # which would auto-disable both Pallas kernels; the throughput
