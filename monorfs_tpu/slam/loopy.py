@@ -54,6 +54,17 @@ class LoopyConfig:
     refit_passes: int = 1  # EM iterations: pass k re-localizes against the
     # map built from pass k-1's corrected trajectory (measured: pass 2 is a
     # fixed point on every chap5 record -- the default stays at 1)
+    refit_backward: bool = True  # after the forward pass(es), run ONE
+    # reversed Gauss-Seidel pass: anchor the final node and re-localize
+    # each earlier node against the map built from the already-corrected
+    # SUFFIX. This is the smoother's backward information flow (what the
+    # reference's Jacobi BP sweeps provide, LoopyPHDNavigator.cs:467-501)
+    # in the same monotone coordinate-ascent form as the forward refit.
+    # The reversed pass reuses make_sequential_refit verbatim: for the
+    # midpoint-rotation odometry composition (Pose3D.cs:314-333) the
+    # exact inverse reading is the NEGATED delta (see reverse_refit_inputs),
+    # so reversing the node order and negating the readings turns the
+    # forward scan into the backward one.
     freeze_map_after: int = 2  # total sweeps (refit passes + BP sweeps)
     # after which map messages freeze and sweeps become pure Gaussian BP on
     # the chain (make_sweep freeze_map). Default: one refit + one map fit,
@@ -660,6 +671,26 @@ def make_sequential_refit(model, cfg: LoopyConfig):
         return jnp.where(node_mask[:, None], traj, lp)
 
     return refit
+
+
+def reverse_refit_inputs(lp, odometry, z, z_mask):
+    """Time-reverse the sequential-refit inputs (all nodes live; the
+    navigator always builds max_nodes == n_nodes).
+
+    The forward pass predicts node j+1 from node j through reading
+    odometry[j] (the link j -> j+1). For the midpoint-rotation composition
+    pose3d.add_odometry (Pose3D.cs:314-333) the EXACT inverse reading is
+    the negation: if q = p (+) u then p = q (+) (-u) -- the rotation
+    inverts as exp(-w/2) = conj(exp(w/2)) and the translation rides the
+    same midpoint frame q*conj(sqrt(dq)) (property-tested in
+    tests/test_loopy.py). So the reversed pass is the SAME scan over
+    flipped nodes with rev_odo[k] = -odometry[T-2-k] as the link
+    (T-1-k) -> (T-2-k)."""
+    lp_r = jnp.flip(lp, axis=0)
+    z_r = jnp.flip(z, axis=0)
+    zm_r = jnp.flip(z_mask, axis=0)
+    odo_r = -jnp.roll(jnp.flip(odometry, axis=0), -1, axis=0)
+    return lp_r, odo_r, z_r, zm_r
 
 
 # ----------------------------------------------------------------------

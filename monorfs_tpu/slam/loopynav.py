@@ -76,6 +76,21 @@ class LoopyPHDNavigator:
             jax.jit(loopy.make_sequential_refit(model, self.lcfg))
             if self.lcfg.refit else None
         )
+        if self._refit is not None and self.lcfg.refit_backward:
+            _fwd = loopy.make_sequential_refit(model, self.lcfg)
+
+            def _back(params, lp, node_mask, odometry, z, z_mask,
+                      motion_cov, grad_clip, grad_rate):
+                lp_r, odo_r, z_r, zm_r = loopy.reverse_refit_inputs(
+                    lp, odometry, z, z_mask
+                )
+                traj_r = _fwd(params, lp_r, node_mask, odo_r, z_r, zm_r,
+                              motion_cov, grad_clip, grad_rate)
+                return jnp.flip(traj_r, axis=0)
+
+            self._refit_back = jax.jit(_back)
+        else:
+            self._refit_back = None
         self._relinearize = jax.jit(lambda st: loopy.relinearize(model, st))
         self._objective = jax.jit(
             lambda st: loopy.trajectory_objective(
@@ -112,6 +127,15 @@ class LoopyPHDNavigator:
         self.best_map_state = None
         self.best_map_objective = -np.inf
 
+    def _n_refit_passes(self):
+        """Total sequential-refit passes: forward passes + the single
+        backward pass (see LoopyConfig.refit_backward)."""
+        if self._refit is None:
+            return 0
+        return self.lcfg.refit_passes + (
+            1 if self._refit_back is not None else 0
+        )
+
     def sweep(self):
         """The first pass is the sequential refit -- the reference's
         Gauss-Seidel growing-tofilter schedule (see make_sequential_refit):
@@ -126,8 +150,13 @@ class LoopyPHDNavigator:
             # falls back to it
             self.best_state = self.state
             self.best_objective = self._score()
-        if self.sweeps < self.lcfg.refit_passes and self._refit is not None:
-            traj = self._refit(
+        n_refit = self._n_refit_passes()
+        if self.sweeps < n_refit:
+            backward = (
+                self._refit_back is not None and self.sweeps == n_refit - 1
+            )
+            fn = self._refit_back if backward else self._refit
+            traj = fn(
                 self.params, self.state.lp, self.state.node_mask,
                 self.odometry, self.z, self.z_mask, self.motion_cov,
                 self.grad_clip, self.grad_rate,
@@ -141,9 +170,7 @@ class LoopyPHDNavigator:
                 self.best_objective = obj
                 self.best_state = self.state
             return self
-        refit_done = (
-            self.lcfg.refit_passes if self._refit is not None else 0
-        )
+        refit_done = n_refit
         bp_sweeps = max(self.sweeps - refit_done, 0)
         temperature = jnp.asarray(
             self.anneal_t0 / (bp_sweeps + 1), self.dtype

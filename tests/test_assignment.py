@@ -54,6 +54,36 @@ def test_association_shaped():
         _check(profit)
 
 
+def test_masked_clutter_rows_converge():
+    """The scan-da livelock shape (round 5): clutter rows of MASKED-OFF
+    measurement slots must have an acceptable seat (their own column), or
+    they fight the zero miss block across the ~1e4 NEG gap in eps-sized
+    increments and every phase burns max_iters (measured 4 x 400
+    iterations/frame on the TPU scan before the fix). This builds the
+    exact isam2_scan_da profit structure (invalid clutter diagonal = +1)
+    at bench-like sizes and asserts full convergence + Hungarian parity."""
+    rng = np.random.default_rng(3)
+    l_cap, c, m = 40, 8, 24
+    n = l_cap + c
+    s = n + m
+    n_valid = 7
+    profit = np.full((s, s), NEG)
+    for i in range(6):  # a few visible landmarks gating measurements
+        profit[i, i] = 3.0 + rng.normal() * 0.1
+        profit[i, (i + 1) % n_valid] = -5.0
+    profit[np.arange(n), m + np.arange(n)] = np.log(0.9)
+    zmask = np.arange(m) < n_valid
+    profit[n + np.arange(m), np.arange(m)] = np.where(
+        zmask, np.log(2e-4), 1.0
+    )
+    profit[n:, m:] = 0.0
+    _check(profit, eps=0.2)
+    # the forced seats must actually be taken by their own rows
+    col = np.asarray(auction_assign(jnp.asarray(profit), eps=0.2))
+    for j in range(n_valid, m):
+        assert col[n + j] == j
+
+
 def test_contested_column():
     """Two rows fighting for one good column with NEG alternatives must
     resolve in few iterations (large bid increments), not price-war."""
