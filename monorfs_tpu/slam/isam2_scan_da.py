@@ -57,15 +57,18 @@ class ScanDACarry(NamedTuple):
 
 def build_mahalanobis_scan(cfg, world, frames, dtype=jnp.float32,
                            max_clutter=8, max_landmarks=None, cand_cap=16,
-                           marginals_every=4, eps=0.2, seed=0,
+                           marginals_every=4, eps=0.05, seed=0,
                            map_cover_radius=0.0):
-    # eps=0.2 (round-5 measured, tools/scanda_profile.py): the coarser
-    # auction is +9% fps AND more accurate on every config tried --
-    # default: OSPA 0.066 -> 0.046; noisy seeds 0/1: ATE 0.180/0.098 ->
-    # 0.079/0.087, OSPA 0.092/0.232 -> 0.082/0.114 with fewer duplicate
-    # landmarks. The near-exact eps=0.01 assignment overcommits to
-    # locally-optimal wrong matches under noise; marginals_every=4 stays
-    # (OSPA doubles on the clean config without it).
+    # eps=0.05 (re-measured after the round-5 auction-livelock fix; the
+    # earlier eps=0.2 tuning was measured AGAINST the livelocked auction,
+    # whose price wars distorted real assignments). Post-fix, eps no
+    # longer moves fps (~60-62 at every eps; phases converge in tens of
+    # iterations) and 0.05 is the accuracy edge: default-config OSPA
+    # 0.046/0.014 over seeds 0/1 vs 0.084/0.039 at eps=0.2 and
+    # 0.084/0.063 at eps=0.01; the noisy config is assignment-noise
+    # limited and statistically ties (means 0.167 vs 0.151).
+    # marginals_every=4 stays (OSPA doubles on the clean config without
+    # it).
     """Return (runner, init_carry, model). runner(carry, commands) scans the
     vehicle + Mahalanobis-DA graph-SLAM pipeline; per-frame outputs
     (true_pose, estimated_pose, n_landmarks)."""
