@@ -125,3 +125,22 @@ def test_subtract_jacobian_fd():
     fd = _fd_jacobian(f, np.zeros(6))
     analytic = np.asarray(pose3d.subtract_jacobian(a, b))
     np.testing.assert_allclose(fd, analytic, atol=1e-5)
+
+
+def test_add_odometry_inverse_is_negation():
+    """The midpoint-rotation composition's exact inverse reading is the
+    NEGATED delta: if q = p (+) u then p = q (+) (-u). The rotation
+    inverts as exp(-w/2) = conj(exp(w/2)) and the translation rides the
+    same midpoint frame q * conj(sqrt(dq)). This identity is what lets
+    the smoother's backward sequential-refit pass reuse the forward scan
+    with flipped nodes and negated readings (loopy.reverse_refit_inputs)."""
+    for _ in range(10):
+        p = random_pose()
+        u = jnp.asarray(RNG.normal(size=6) * 0.7)
+        back = pose3d.add_odometry(pose3d.add_odometry(p, u), -u)
+        b = np.asarray(back)
+        a = np.asarray(p)
+        np.testing.assert_allclose(b[:3], a[:3], atol=1e-6)
+        # quaternion double cover: q and -q are the same rotation
+        qerr = min(np.linalg.norm(b[3:] - a[3:]), np.linalg.norm(b[3:] + a[3:]))
+        assert qerr < 1e-6, qerr
