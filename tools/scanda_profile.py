@@ -59,7 +59,7 @@ def main():
     max_clutter = max(8, int(math.floor(10 * lam)) + 1)
 
     for tag, kw in [
-        ("baseline (marg=4, eps=.01)", {}),
+        ("baseline (marg=4, builder-default eps)", {}),
         ("marg=never", {"marginals_every": 10**9}),
         ("marg=16", {"marginals_every": 16}),
         ("eps=.05", {"eps": 0.05}),
